@@ -1,0 +1,133 @@
+"""Typed run configuration — the PARAM hub analogue (param.h:119-370).
+
+One dataclass holds every option; `gemma_tpu.cli` fills it from
+GEMMA-compatible flags, and the Python API constructs it directly.
+Defaults mirror GEMMA's help text (gemma.cpp:451-696).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+# analysis mode numbers (gemma.h:28-47)
+M_LMM1, M_LMM2, M_LMM3, M_LMM4, M_LMM5, M_LMM9 = 1, 2, 3, 4, 5, 9
+M_BSLMM1, M_BSLMM2, M_BSLMM3 = 11, 12, 13
+M_KIN, M_KIN2 = 21, 22
+M_GS, M_GS2 = 25, 26
+M_GQ, M_GQ2 = 27, 28
+M_EIGEN = 31
+M_PREDICT, M_PREDICT2, M_PREDICT3 = 41, 42, 43
+M_LM1, M_LM2, M_LM3, M_LM4 = 51, 52, 53, 54
+M_VC1, M_VC2, M_VC3 = 61, 62, 63
+M_CI1, M_CI2 = 66, 67
+M_CALCCOR = 71
+M_GW = 72
+
+
+@dataclasses.dataclass
+class GemmaConfig:
+    # analysis mode
+    a_mode: int = 0
+
+    # input files
+    file_geno: str = ""        # -g  BIMBAM mean genotypes
+    file_bfile: str = ""       # -bfile PLINK prefix
+    file_pheno: str = ""       # -p
+    file_anno: str = ""        # -a
+    file_cvt: str = ""         # -c
+    file_gxe: str = ""         # -gxe
+    file_weight: str = ""      # -widv
+    file_kin: str = ""         # -k
+    file_mk: str = ""          # -mk
+    file_ku: str = ""          # -u
+    file_kd: str = ""          # -d
+    file_snps: str = ""        # -snps
+    file_ksnps: str = ""       # -ksnps
+    file_gwasnps: str = ""     # -gwasnps
+    file_epm: str = ""         # -epm (estimated parameters, for -predict)
+    file_ebv: str = ""         # -ebv
+    file_emu: str = ""         # -emu
+    file_beta: str = ""        # -beta (summary stats)
+    file_cor: str = ""         # -cor
+
+    # phenotype columns (-n, 1-based)
+    p_columns: Sequence[int] = (1,)
+
+    # output
+    path_out: str = "./output"
+    file_out: str = "result"
+
+    # QC thresholds (param defaults; gemma help 451-696)
+    miss_level: float = 0.05
+    maf_level: float = 0.01
+    hwe_level: float = 0.0
+    r2_level: float = 0.9999
+    notsnp: bool = False        # sets maf_level = -1
+
+    # kinship / eigen
+    k_mode: int = 1             # -km: 1 dense matrix, 2 id-id-value
+    gk_mode: int = 1            # -gk: 1 centered, 2 standardized
+
+    # LMM
+    l_min: float = 1e-5
+    l_max: float = 1e5
+    n_region: int = 10
+    loco: str = ""              # -loco chromosome
+
+    # LOCO / subsetting
+    ni_subsample: int = 0       # -nind
+    seed: int = -1              # -seed (used for subsampling, MCMC)
+
+    # mvLMM
+    em_iter: int = 10000
+    nr_iter: int = 100
+    em_prec: float = 1e-4
+    nr_prec: float = 1e-4
+    p_nr: float = 0.001
+    crt: int = 0
+
+    # BSLMM priors / MCMC (param.h:202-218)
+    h_min: float = -1.0
+    h_max: float = -1.0
+    rho_min: float = 0.0
+    rho_max: float = 1.0
+    logp_min: float = 0.0
+    logp_max: float = 0.0
+    pheno_mean: float = 0.0
+    h_ngrid: int = 10
+    rho_ngrid: int = 10
+    s_min: int = 0
+    s_max: int = 300
+    w_step: int = 100000
+    s_step: int = 1000000
+    r_pace: int = 10
+    w_pace: int = 1000
+    n_mh: int = 10
+    geo_mean: float = 2000.0
+
+    # VC
+    window_bp: float = 0.0
+    window_cm: float = 0.0
+    window_ns: float = 0.0
+    n_block: int = 200
+
+    # varcov windows
+    window_bp_cor: float = 1e6
+
+    # runtime
+    precision: str = "auto"     # float64 (CPU parity) / float32 (TPU) / auto
+    block_size: int = 4096      # SNPs per device batch
+    check: bool = True
+    debug: bool = False
+
+    def __post_init__(self):
+        if self.notsnp:
+            self.maf_level = -1.0
+
+    @property
+    def n_ph(self) -> int:
+        return len(self.p_columns)
+
+    def out_prefix(self) -> str:
+        return f"{self.path_out}/{self.file_out}"

@@ -1,0 +1,87 @@
+"""BIMBAM mean-genotype reader.
+
+Format (reference gemma_io.cpp:639-873, README.md:299-308): one SNP
+per line — `rs, allele1, allele0, g_1, g_2, ...` with dosages in
+[0, 2], `NA` for missing, separated by any mix of comma/space/tab.
+
+Unlike GEMMA's two-pass char-by-char strtok streaming (which costs it
+~30% of kinship wall time, doc/developers/profiling.md), this reader
+tokenises each line once into a numpy row; QC, imputation and
+centering happen vectorised downstream (io/qc.py, ops/kinship.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import numpy as np
+
+from gemma_tpu.io.tables import SnpTable, GenotypeData
+
+
+def _open_text(path: str):
+    if str(path).endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="ascii")
+    return open(path, "r")
+
+
+def read_bimbam_genotypes(path: str, n_individuals: int | None = None
+                          ) -> GenotypeData:
+    """Load a BIMBAM mean-genotype file into a GenotypeData.
+
+    n_individuals, if given, validates the column count per row.
+    """
+    rs_list, a1_list, a0_list = [], [], []
+    rows = []
+    with _open_text(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            # normalise separators, NA → nan in one pass
+            parts = line.replace(",", " ").split()
+            rs_list.append(parts[0])
+            a1_list.append(parts[1])
+            a0_list.append(parts[2])
+            vals = np.array(
+                [v if v != "NA" else "nan" for v in parts[3:]],
+                dtype=np.float64)
+            if n_individuals is not None and vals.shape[0] != n_individuals:
+                raise ValueError(
+                    f"{path}: SNP {parts[0]} has {vals.shape[0]} genotypes, "
+                    f"expected {n_individuals}")
+            rows.append(vals)
+
+    if not rows:
+        raise ValueError(f"{path}: empty genotype file")
+    X = np.vstack(rows)
+    p = X.shape[0]
+    snps = SnpTable.from_lists(
+        chr_=["-9"] * p,
+        rs=rs_list,
+        cM=[-9.0] * p,
+        pos=[-9] * p,
+        a_minor=a1_list,
+        a_major=a0_list,
+    )
+    return GenotypeData(snps=snps, X=X)
+
+
+def annotate_snps(snps: SnpTable, anno: dict) -> None:
+    """Attach chr/pos/cM from an annotation map (ReadFile_anno semantics:
+    unknown rs → chr '-9', pos -9, cM -9; gemma_io.cpp:726-740)."""
+    chr_, pos, cM = [], [], []
+    for rs in snps.rs:
+        if rs in anno:
+            c, b, m = anno[rs]
+            chr_.append(c)
+            pos.append(b)
+            cM.append(m)
+        else:
+            chr_.append("-9")
+            pos.append(-9)
+            cM.append(-9.0)
+    snps.chr = np.asarray(chr_, dtype=object)
+    snps.pos = np.asarray(pos, dtype=np.int64)
+    snps.cM = np.asarray(cM, dtype=np.float64)

@@ -1,0 +1,90 @@
+"""PLINK binary (.bed/.bim/.fam) reader.
+
+Formats per reference gemma_io.cpp: `.bim` (ReadFile_bim:514) is
+`chr rs cM pos allele_minor allele_major`; `.fam` (ReadFile_fam:559)
+carries phenotypes from column 6 on, with both `NA` and `-9` treated
+as missing; `.bed` (ReadFile_bed:876-1064) is SNP-major, 3 magic bytes
+then ceil(n/4) bytes per SNP, two bits per individual (LSB first):
+
+    00 → 2.0 (minor hom)    10 → 1.0 (het)
+    11 → 0.0 (major hom)    01 → missing
+
+The decode here is a 256×4 lookup table applied to the whole memory-
+mapped byte matrix — one vectorised gather instead of GEMMA's
+per-bit loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gemma_tpu.io.tables import SnpTable, GenotypeData
+
+# bit-pair code (low bit + 2*high bit) → dosage
+_CODE_TO_DOSAGE = np.array([2.0, np.nan, 1.0, 0.0], dtype=np.float64)
+
+_BYTE_LUT = np.empty((256, 4), dtype=np.float64)
+for _v in range(256):
+    for _j in range(4):
+        _BYTE_LUT[_v, _j] = _CODE_TO_DOSAGE[(_v >> (2 * _j)) & 3]
+
+
+def read_bim(path: str) -> SnpTable:
+    chr_, rs, cM, pos, a1, a0 = [], [], [], [], [], []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            chr_.append(parts[0])
+            rs.append(parts[1])
+            cM.append(float(parts[2]))
+            pos.append(int(parts[3]))
+            a1.append(parts[4])
+            a0.append(parts[5])
+    return SnpTable.from_lists(chr_, rs, cM, pos, a1, a0)
+
+
+def read_fam(path: str, p_columns=(1,)):
+    """Returns (ids, pheno (n, len(p_columns)) with NaN missing).
+
+    Phenotype column k (1-based) is .fam column 5+k; `NA` and -9 are
+    missing (gemma_io.cpp:600-620).
+    """
+    ids = []
+    phenos = []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            ids.append(parts[1])
+            row = []
+            for k in p_columns:
+                tok = parts[4 + k] if len(parts) > 4 + k else "NA"
+                if tok == "NA":
+                    row.append(np.nan)
+                else:
+                    v = float(tok)
+                    row.append(np.nan if v == -9 else v)
+            phenos.append(row)
+    return ids, np.asarray(phenos, dtype=np.float64)
+
+
+def read_bed_matrix(path: str, n_individuals: int, n_snps: int) -> np.ndarray:
+    """Decode the whole .bed into (n_snps, n_individuals) with NaN missing."""
+    n_bytes = (n_individuals + 3) // 4
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw[:3].tolist() != [0x6C, 0x1B, 0x01]:
+        raise ValueError(f"{path}: not a SNP-major PLINK .bed file")
+    body = raw[3:3 + n_snps * n_bytes].reshape(n_snps, n_bytes)
+    decoded = _BYTE_LUT[body]                     # (p, n_bytes, 4)
+    return decoded.reshape(n_snps, n_bytes * 4)[:, :n_individuals]
+
+
+def read_plink(bfile_prefix: str, p_columns=(1,)):
+    """Read .bim/.fam/.bed; returns (GenotypeData, ids, pheno)."""
+    snps = read_bim(bfile_prefix + ".bim")
+    ids, pheno = read_fam(bfile_prefix + ".fam", p_columns)
+    X = read_bed_matrix(bfile_prefix + ".bed", len(ids), len(snps))
+    return GenotypeData(snps=snps, X=X), ids, pheno

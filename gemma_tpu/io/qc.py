@@ -1,0 +1,104 @@
+"""Vectorised SNP quality control.
+
+Replicates the per-SNP filter chain of the reference's first-pass
+genotype readers — miss → maf → polymorphism → HWE → covariate-r²
+(ReadFile_geno gemma_io.cpp:805-853, ReadFile_bed:1002-1046) — as
+whole-matrix numpy ops over the analyzed individuals.
+
+Statistics (recorded for every SNP, even filtered ones):
+  * n_miss over analyzed individuals
+  * maf = sum(dosage) / (2 * n_observed)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gemma_tpu.io.hwe import hwe_exact_p
+
+
+@dataclasses.dataclass
+class QcResult:
+    indicator_snp: np.ndarray   # (p,) bool — SNP passes all filters
+    n_miss: np.ndarray          # (p,) int
+    missingness: np.ndarray     # (p,) float
+    maf: np.ndarray             # (p,) float
+    n_idv: np.ndarray           # (p,) int — observed count
+
+    @property
+    def ns_test(self) -> int:
+        return int(self.indicator_snp.sum())
+
+
+def run_qc(X_test: np.ndarray, W: np.ndarray,
+           miss_level: float = 0.05, maf_level: float = 0.01,
+           hwe_level: float = 0.0, r2_level: float = 0.9999,
+           snp_set_mask: np.ndarray | None = None,
+           plink_poly: bool = False) -> QcResult:
+    """X_test: (p, ni_test) dosages over analyzed individuals, NaN missing.
+
+    W: (ni_test, c) covariate matrix (with intercept).  snp_set_mask:
+    False rows (from -snps) are excluded without computing stats
+    (gemma_io.cpp:715-724).  plink_poly selects the .bed polymorphism
+    rule (at least two genotype classes, gemma_io.cpp:1020-1023) over
+    the BIMBAM rule (any two observed values differ, :782-821).
+    """
+    p, ni_test = X_test.shape
+    miss = np.isnan(X_test)
+    n_miss = miss.sum(axis=1)
+    n_obs = ni_test - n_miss
+    missingness = n_miss / ni_test
+    g0 = np.where(miss, 0.0, X_test)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        maf = g0.sum(axis=1) / (2.0 * n_obs)
+
+    keep = np.ones(p, dtype=bool)
+    if snp_set_mask is not None:
+        keep &= snp_set_mask
+
+    # -miss
+    keep &= missingness <= miss_level
+    # -maf (maf_level == -1 disables, set by -notsnp)
+    if maf_level != -1:
+        keep &= ~((maf < maf_level) | (maf > 1.0 - maf_level))
+
+    # genotype class counts (for poly + HWE): reference bins
+    # [0,0.5] → n_0, (0.5,1.5) → n_1, [1.5,2] → n_2 (gemma_io.cpp:767-775)
+    obs = ~miss
+    n_0 = ((X_test >= 0) & (X_test <= 0.5) & obs).sum(axis=1)
+    n_1 = ((X_test > 0.5) & (X_test < 1.5) & obs).sum(axis=1)
+    n_2 = ((X_test >= 1.5) & (X_test <= 2.0) & obs).sum(axis=1)
+
+    # polymorphism
+    if plink_poly:
+        poly = ~(((n_0 + n_1) == 0) | ((n_1 + n_2) == 0) | ((n_2 + n_0) == 0))
+    else:
+        gmin = np.where(obs, X_test, np.inf).min(axis=1)
+        gmax = np.where(obs, X_test, -np.inf).max(axis=1)
+        poly = (n_obs > 0) & (gmin != gmax)
+    keep &= poly
+
+    # -hwe (only when enabled and maf filtering active)
+    if hwe_level != 0 and maf_level != -1:
+        for i in np.flatnonzero(keep):
+            if hwe_exact_p(int(n_0[i]), int(n_2[i]), int(n_1[i])) < hwe_level:
+                keep[i] = False
+
+    # -r2: drop SNPs (nearly) in the covariate span, skipped when W is
+    # just the intercept (gemma_io.cpp:845-850)
+    if W.shape[1] != 1 and np.any(keep):
+        sel = np.flatnonzero(keep)
+        G = np.where(miss[sel], (2.0 * maf[sel])[:, None], X_test[sel])
+        WtW = W.T @ W
+        WtX = W.T @ G.T                          # (c, k)
+        v_w = np.einsum("ck,ck->k", WtX, np.linalg.solve(WtW, WtX))
+        v_x = np.einsum("kn,kn->k", G, G)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            bad = v_w / v_x > r2_level
+        keep[sel[bad]] = False
+
+    return QcResult(indicator_snp=keep, n_miss=n_miss.astype(np.int64),
+                    missingness=missingness, maf=maf,
+                    n_idv=n_obs.astype(np.int64))

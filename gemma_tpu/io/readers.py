@@ -1,0 +1,189 @@
+"""Small text readers: phenotypes, covariates, annotation, SNP sets,
+kinship matrices, eigen files, GxE, residual weights.
+
+Semantics follow the reference readers in gemma_io.cpp (cited per
+function); separators are any mix of space/comma/tab, `NA` is missing.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import numpy as np
+
+
+def _open_text(path: str):
+    if str(path).endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="ascii")
+    return open(path, "r")
+
+
+def _tokens(line: str):
+    return line.replace(",", " ").split()
+
+
+def read_pheno(path: str, p_columns=(1,)) -> np.ndarray:
+    """BIMBAM phenotype file: one column per phenotype, NA missing.
+
+    Returns (n, len(p_columns)) float64 with NaN for missing
+    (ReadFile_pheno gemma_io.cpp:386-444).
+    """
+    rows = []
+    with _open_text(path) as fh:
+        for line in fh:
+            parts = _tokens(line)
+            if not parts:
+                continue
+            row = []
+            for k in p_columns:
+                tok = parts[k - 1] if len(parts) >= k else "NA"
+                row.append(np.nan if tok == "NA" else float(tok))
+            rows.append(row)
+    return np.asarray(rows, dtype=np.float64)
+
+
+def read_covariates(path: str):
+    """Covariate file; returns (cvt (n, c) float64, indicator (n,) bool).
+
+    A row with any NA is flagged invalid (its values are unusable),
+    matching ReadFile_cvt (gemma_io.cpp:447-510).
+    """
+    rows, ind = [], []
+    with _open_text(path) as fh:
+        for line in fh:
+            parts = _tokens(line)
+            if not parts:
+                continue
+            ok = all(t != "NA" for t in parts)
+            rows.append([0.0 if t == "NA" else float(t) for t in parts])
+            ind.append(ok)
+    n_cols = {len(r) for r, k in zip(rows, ind) if k}
+    if len(n_cols) > 1:
+        raise ValueError(f"{path}: inconsistent covariate column counts")
+    width = max(len(r) for r in rows)
+    mat = np.zeros((len(rows), width), dtype=np.float64)
+    for i, r in enumerate(rows):
+        mat[i, :len(r)] = r
+    return mat, np.asarray(ind, dtype=bool)
+
+
+def read_anno(path: str) -> dict:
+    """Annotation `rs, bp, chr[, cM]` → {rs: (chr, bp, cM)}
+    (ReadFile_anno gemma_io.cpp:280-341; NA → -9)."""
+    anno = {}
+    with _open_text(path) as fh:
+        for line in fh:
+            parts = _tokens(line)
+            if not parts:
+                continue
+            rs = parts[0]
+            bp = -9 if (len(parts) < 2 or parts[1] == "NA") else int(float(parts[1]))
+            chr_ = "-9" if (len(parts) < 3 or parts[2] == "NA") else parts[2]
+            cm = -9.0 if (len(parts) < 4 or parts[3] == "NA") else float(parts[3])
+            anno[rs] = (chr_, bp, cm)
+    return anno
+
+
+def read_snp_set(path: str) -> set:
+    """-snps/-ksnps/-gwasnps file: first token per line is an rs id."""
+    out = set()
+    with _open_text(path) as fh:
+        for line in fh:
+            parts = _tokens(line)
+            if parts:
+                out.add(parts[0])
+    return out
+
+
+def read_kinship(path: str, indicator_idv: np.ndarray,
+                 ids: list | None = None, k_mode: int = 1) -> np.ndarray:
+    """Kinship matrix restricted to analyzed individuals.
+
+    k_mode 1: dense ni_total×ni_total text matrix, subset rows/cols by
+    indicator_idv (ReadFile_kin gemma_io.cpp:1186-1244).
+    k_mode 2: `id1 id2 value` triples (1246-1292).
+    """
+    indicator_idv = np.asarray(indicator_idv, dtype=bool)
+    ni_total = indicator_idv.shape[0]
+    ni_test = int(indicator_idv.sum())
+
+    if k_mode == 1:
+        rows = []
+        keep = np.flatnonzero(indicator_idv)
+        with _open_text(path) as fh:
+            i_total = 0
+            for line in fh:
+                parts = _tokens(line)
+                if not parts:
+                    continue
+                if i_total >= ni_total:
+                    raise ValueError(f"{path}: more rows than individuals")
+                if indicator_idv[i_total]:
+                    vals = np.asarray(parts, dtype=np.float64)
+                    if vals.shape[0] != ni_total:
+                        raise ValueError(
+                            f"{path}: row {i_total} has {vals.shape[0]} cols, "
+                            f"expected {ni_total}")
+                    rows.append(vals[keep])
+                i_total += 1
+        if i_total != ni_total:
+            raise ValueError(f"{path}: {i_total} rows, expected {ni_total}")
+        return np.vstack(rows)
+
+    if ids is None:
+        raise ValueError("k_mode 2 requires individual ids")
+    id2num = {s: i for i, s in enumerate(ids)}
+    test_index = -np.ones(ni_total, dtype=np.int64)
+    test_index[indicator_idv] = np.arange(ni_test)
+    G = np.zeros((ni_test, ni_test), dtype=np.float64)
+    with _open_text(path) as fh:
+        for line in fh:
+            parts = _tokens(line)
+            if len(parts) < 3:
+                continue
+            i1, i2 = id2num.get(parts[0], -1), id2num.get(parts[1], -1)
+            if i1 < 0 or i2 < 0:
+                continue
+            if not (indicator_idv[i1] and indicator_idv[i2]):
+                continue
+            a, b = test_index[i1], test_index[i2]
+            d = float(parts[2])
+            if G[a, b] != 0 and G[a, b] != d:
+                raise ValueError(f"{path}: conflicting entries for "
+                                 f"{parts[0]},{parts[1]}")
+            G[a, b] = d
+            G[b, a] = d
+    return G
+
+
+def read_eigen_u(path: str) -> np.ndarray:
+    """Eigenvector matrix file (ReadFile_eigenU gemma_io.cpp:1323)."""
+    return np.loadtxt(path, dtype=np.float64)
+
+
+def read_eigen_d(path: str) -> np.ndarray:
+    """Eigenvalue vector file (ReadFile_eigenD gemma_io.cpp:1372)."""
+    return np.loadtxt(path, dtype=np.float64).ravel()
+
+
+def read_gxe(path: str):
+    """Single-column environmental variable; returns (values, indicator)."""
+    vals, ind = [], []
+    with _open_text(path) as fh:
+        for line in fh:
+            parts = _tokens(line)
+            if not parts:
+                continue
+            if parts[0] == "NA":
+                vals.append(0.0)
+                ind.append(False)
+            else:
+                vals.append(float(parts[0]))
+                ind.append(True)
+    return np.asarray(vals), np.asarray(ind, dtype=bool)
+
+
+def read_weights(path: str):
+    """Residual weights (-widv); returns (values, indicator)."""
+    return read_gxe(path)

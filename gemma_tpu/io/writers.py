@@ -1,0 +1,112 @@
+"""GEMMA-compatible output writers.
+
+File layouts follow the reference exactly so downstream tooling (and
+the golden regression tests) can consume either implementation:
+  * assoc.txt: LMM::WriteFiles (lmm.cpp:101-225) — stats in scientific
+    6-digit, af fixed 3-digit; mode-dependent columns.
+  * dense matrices / vectors: PARAM::WriteMatrix/WriteVector
+    (param.cpp:1886, precision 10, tab-separated).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _fmt_g10(v: float) -> str:
+    """C++ default-notation precision(10) (param.cpp:1828 etc.)."""
+    return f"{v:.10g}"
+
+
+def _fmt_sci6(v: float) -> str:
+    if isinstance(v, (float, np.floating)) and np.isnan(v):
+        return "nan"
+    return f"{v:.6e}"
+
+
+def write_matrix(path: str, M: np.ndarray) -> None:
+    M = np.asarray(M)
+    with open(path, "w") as fh:
+        for row in M:
+            fh.write("\t".join(_fmt_g10(v) for v in row))
+            fh.write("\n")
+
+
+def write_vector(path: str, v: np.ndarray) -> None:
+    with open(path, "w") as fh:
+        for x in np.asarray(v).ravel():
+            fh.write(_fmt_g10(x) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# assoc.txt (univariate LMM / LM)
+
+def _lmm_stat_columns(mode: int):
+    cols = []
+    if mode != 2:
+        cols += ["beta", "se"]
+    if mode not in (3, 9):
+        cols += ["logl_H1"]
+    if mode == 1:
+        cols += ["l_remle", "p_wald"]
+    elif mode in (2, 9):
+        cols += ["l_mle", "p_lrt"]
+    elif mode == 3:
+        cols += ["p_score"]
+    elif mode == 4:
+        cols += ["l_remle", "l_mle", "p_wald", "p_lrt", "p_score"]
+    return cols
+
+
+def write_lmm_assoc(path: str, mode: int, snp_rows: list, stats: dict) -> None:
+    """snp_rows: list of dicts with chr/rs/ps/n_miss/allele1/allele0/af;
+    stats: dict of column name → array aligned with snp_rows."""
+    cols = _lmm_stat_columns(mode)
+    with open(path, "w") as fh:
+        fh.write("chr\trs\tps\tn_miss\tallele1\tallele0\taf\t")
+        fh.write("\t".join(cols) + "\n")
+        for i, s in enumerate(snp_rows):
+            fh.write(f"{s['chr']}\t{s['rs']}\t{s['ps']}\t{s['n_miss']}\t"
+                     f"{s['allele1']}\t{s['allele0']}\t{s['af']:.3f}\t")
+            fh.write("\t".join(_fmt_sci6(float(stats[c][i])) for c in cols))
+            fh.write("\n")
+
+
+def _lm_stat_columns(mode: int):
+    # lm.cpp:83-222: mode 51 Wald, 52 LRT, 53 score, 54 all
+    if mode == 51:
+        return ["beta", "se", "p_wald"]
+    if mode == 52:
+        return ["p_lrt"]
+    if mode == 53:
+        return ["beta", "se", "p_score"]
+    return ["beta", "se", "p_wald", "p_lrt", "p_score"]
+
+
+def write_lm_assoc(path: str, mode: int, snp_rows: list, stats: dict) -> None:
+    cols = _lm_stat_columns(mode)
+    with open(path, "w") as fh:
+        fh.write("chr\trs\tps\tn_miss\tallele1\tallele0\taf\t")
+        fh.write("\t".join(cols) + "\n")
+        for i, s in enumerate(snp_rows):
+            fh.write(f"{s['chr']}\t{s['rs']}\t{s['ps']}\t{s['n_miss']}\t"
+                     f"{s['allele1']}\t{s['allele0']}\t{s['af']:.3f}\t")
+            fh.write("\t".join(_fmt_sci6(float(stats[c][i])) for c in cols))
+            fh.write("\n")
+
+
+def snp_rows_from_table(snps, qc, order: np.ndarray) -> list:
+    """Build writer rows for the analyzed SNPs in output order."""
+    rows = []
+    for i in order:
+        rows.append(dict(
+            chr=snps.chr[i], rs=snps.rs[i], ps=snps.pos[i],
+            n_miss=int(qc.n_miss[i]), allele1=snps.a_minor[i],
+            allele0=snps.a_major[i], af=float(qc.maf[i])))
+    return rows
+
+
+def ensure_outdir(path_out: str) -> None:
+    os.makedirs(path_out, exist_ok=True)

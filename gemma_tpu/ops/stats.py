@@ -1,0 +1,56 @@
+"""Survival functions (p-values) as pure JAX ops.
+
+GEMMA calls GSL cdf routines one value at a time
+(`gsl_cdf_fdist_Q` lmm.cpp:1161, `gsl_cdf_chisq_Q` lmm.cpp:1553,
+`gsl_cdf_gaussian_P` gemma.cpp:1719).  Here they are vectorised,
+jittable, and computed from the regularized incomplete beta/gamma
+functions so an entire SNP batch gets its p-values in one fused XLA
+program.
+
+Domain conventions follow GSL:
+  * chisq_sf(x<=0) == 1      (GSL gamma_Q returns 1 for x<=0)
+  * f_sf(x<=0)    == 1
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.special import betainc, gammaincc, erfc, erf
+
+
+def f_sf(x, d1, d2):
+    """Survival function of the F(d1, d2) distribution.
+
+    Q(x) = I_{d2/(d2 + d1 x)}(d2/2, d1/2)  via the regularized
+    incomplete beta function.  Matches `gsl_cdf_fdist_Q`.
+    """
+    x = jnp.asarray(x)
+    d1 = jnp.asarray(d1, dtype=x.dtype)
+    d2 = jnp.asarray(d2, dtype=x.dtype)
+    xt = d2 / (d2 + d1 * x)
+    q = betainc(d2 / 2.0, d1 / 2.0, xt)
+    return jnp.where(x <= 0.0, jnp.ones_like(q), q)
+
+
+def chisq_sf(x, df):
+    """Survival function of the chi-square(df) distribution.
+
+    Q(x) = Gamma(df/2, x/2) / Gamma(df/2), matching `gsl_cdf_chisq_Q`.
+    """
+    x = jnp.asarray(x)
+    df = jnp.asarray(df, dtype=x.dtype)
+    q = gammaincc(df / 2.0, jnp.maximum(x, 0.0) / 2.0)
+    return jnp.where(x <= 0.0, jnp.ones_like(q), q)
+
+
+def normal_cdf(x, sigma=1.0):
+    """P(N(0, sigma^2) <= x), matching `gsl_cdf_gaussian_P`."""
+    x = jnp.asarray(x)
+    z = x / (jnp.asarray(sigma, dtype=x.dtype) * jnp.sqrt(jnp.asarray(2.0, x.dtype)))
+    return 0.5 * (1.0 + erf(z))
+
+
+def normal_sf(x, sigma=1.0):
+    x = jnp.asarray(x)
+    z = x / (jnp.asarray(sigma, dtype=x.dtype) * jnp.sqrt(jnp.asarray(2.0, x.dtype)))
+    return 0.5 * erfc(z)
