@@ -1,0 +1,229 @@
+"""GEMMA-compatible command-line interface.
+
+Flag names and mode numbers follow GEMMA::Assign (gemma.cpp:754-1639)
+so existing GEMMA invocations work unchanged:
+
+    python -m gemma_tpu -g geno.txt.gz -p pheno.txt -gk -o out
+    python -m gemma_tpu -g geno.txt.gz -p pheno.txt -k out.cXX.txt -lmm 1
+
+Extra (non-GEMMA) flags: -precision {auto,float32,float64},
+-block-size N.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from gemma_tpu.config import GemmaConfig
+
+
+def _is_flag(tok: str) -> bool:
+    if not tok.startswith("-"):
+        return False
+    # negative numbers are values, not flags
+    try:
+        float(tok)
+        return False
+    except ValueError:
+        return True
+
+
+def parse_args(argv: list) -> GemmaConfig:
+    cfg = GemmaConfig()
+    i = 0
+
+    def take(default=None):
+        nonlocal i
+        if i + 1 < len(argv) and not _is_flag(argv[i + 1]):
+            i += 1
+            return argv[i]
+        if default is not None:
+            return default
+        raise ValueError(f"flag {argv[i]} requires a value")
+
+    def take_multi():
+        nonlocal i
+        vals = []
+        while i + 1 < len(argv) and not _is_flag(argv[i + 1]):
+            i += 1
+            vals.append(argv[i])
+        return vals
+
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-g",):
+            cfg.file_geno = take()
+        elif a in ("-bfile", "--bfile"):
+            cfg.file_bfile = take()
+        elif a == "-p":
+            cfg.file_pheno = take()
+        elif a == "-a":
+            cfg.file_anno = take()
+        elif a == "-c":
+            cfg.file_cvt = take()
+        elif a == "-gxe":
+            cfg.file_gxe = take()
+        elif a == "-widv":
+            cfg.file_weight = take()
+        elif a == "-k":
+            cfg.file_kin = take()
+        elif a == "-mk":
+            cfg.file_mk = take()
+        elif a == "-u":
+            cfg.file_ku = take()
+        elif a == "-d":
+            cfg.file_kd = take()
+        elif a == "-snps":
+            cfg.file_snps = take()
+        elif a == "-ksnps":
+            cfg.file_ksnps = take()
+        elif a == "-gwasnps":
+            cfg.file_gwasnps = take()
+        elif a == "-epm":
+            cfg.file_epm = take()
+        elif a == "-ebv":
+            cfg.file_ebv = take()
+        elif a == "-emu":
+            cfg.file_emu = take()
+        elif a == "-beta":
+            cfg.file_beta = take()
+        elif a == "-cor":
+            cfg.file_cor = take()
+        elif a == "-n":
+            cfg.p_columns = tuple(int(v) for v in take_multi()) or (1,)
+        elif a == "-km":
+            cfg.k_mode = int(take())
+        elif a == "-outdir":
+            cfg.path_out = take()
+        elif a == "-o":
+            cfg.file_out = take()
+        elif a == "-miss":
+            cfg.miss_level = float(take())
+        elif a == "-maf":
+            cfg.maf_level = float(take())
+        elif a == "-hwe":
+            cfg.hwe_level = float(take())
+        elif a == "-r2":
+            cfg.r2_level = float(take())
+        elif a == "-notsnp":
+            cfg.maf_level = -1.0
+        elif a == "-gk":
+            cfg.gk_mode = int(take(default="1"))
+            cfg.a_mode = 20 + cfg.gk_mode
+        elif a == "-eigen":
+            cfg.a_mode = 31
+        elif a == "-lmm":
+            cfg.a_mode = int(take(default="1"))
+        elif a == "-lm":
+            cfg.a_mode = 50 + int(take(default="1"))
+        elif a == "-vc":
+            cfg.a_mode = 60 + int(take(default="1"))
+        elif a == "-ci":
+            cfg.a_mode = 65 + int(take(default="1"))
+        elif a == "-gs":
+            cfg.a_mode = 24 + int(take(default="1"))
+        elif a == "-gq":
+            cfg.a_mode = 26 + int(take(default="1"))
+        elif a == "-gw":
+            cfg.a_mode = 72
+        elif a == "-calccor":
+            cfg.a_mode = 71
+        elif a == "-bslmm":
+            cfg.a_mode = 10 + int(take(default="1"))
+        elif a == "-predict":
+            cfg.a_mode = 40 + int(take(default="1"))
+        elif a == "-lmin":
+            cfg.l_min = float(take())
+        elif a == "-lmax":
+            cfg.l_max = float(take())
+        elif a == "-region":
+            cfg.n_region = int(take())
+        elif a == "-loco":
+            cfg.loco = take()
+        elif a == "-pnr":
+            cfg.p_nr = float(take())
+        elif a == "-emi":
+            cfg.em_iter = int(take())
+        elif a == "-nri":
+            cfg.nr_iter = int(take())
+        elif a == "-emp":
+            cfg.em_prec = float(take())
+        elif a == "-nrp":
+            cfg.nr_prec = float(take())
+        elif a == "-crt":
+            cfg.crt = 1
+        elif a == "-hmin":
+            cfg.h_min = float(take())
+        elif a == "-hmax":
+            cfg.h_max = float(take())
+        elif a == "-rmin":
+            cfg.rho_min = float(take())
+        elif a == "-rmax":
+            cfg.rho_max = float(take())
+        elif a == "-pmin":
+            cfg.logp_min = float(take())
+        elif a == "-pmax":
+            cfg.logp_max = float(take())
+        elif a == "-smin":
+            cfg.s_min = int(take())
+        elif a == "-smax":
+            cfg.s_max = int(take())
+        elif a == "-gmean":
+            cfg.geo_mean = float(take())
+        elif a == "-mu":
+            cfg.pheno_mean = float(take())
+        elif a == "-w":
+            cfg.w_step = int(take())
+        elif a == "-s":
+            cfg.s_step = int(take())
+        elif a == "-rpace":
+            cfg.r_pace = int(take())
+        elif a == "-wpace":
+            cfg.w_pace = int(take())
+        elif a == "-mh":
+            cfg.n_mh = int(take())
+        elif a == "-seed":
+            cfg.seed = int(take())
+        elif a == "-nind":
+            cfg.ni_subsample = int(take())
+        elif a == "-windowbp":
+            cfg.window_bp = float(take())
+        elif a == "-windowcm":
+            cfg.window_cm = float(take())
+        elif a == "-windowns":
+            cfg.window_ns = float(take())
+        elif a == "-blocks":
+            cfg.n_block = int(take())
+        elif a in ("-check",):
+            cfg.check = True
+        elif a in ("-no-check", "-nocheck"):
+            cfg.check = False
+        elif a in ("-debug", "-debug-data"):
+            cfg.debug = True
+        elif a in ("-silence", "--quiet", "-strict", "-no-fpe-check",
+                   "-legacy", "-issue"):
+            if a == "-issue":
+                take()
+        elif a == "-precision":
+            cfg.precision = take()
+        elif a == "-block-size":
+            cfg.block_size = int(take())
+        elif a in ("-h", "-license", "--help"):
+            print(__doc__)
+            sys.exit(0)
+        else:
+            raise ValueError(f"unknown flag: {a}")
+        i += 1
+
+    return cfg
+
+
+def main(argv: list | None = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = parse_args(argv)
+    from gemma_tpu.run import batch_run
+    batch_run(cfg, argv=["gemma-tpu"] + list(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Dataset assembly: genotypes + phenotypes + covariates + indicators.
+
+The analogue of PARAM::ReadFiles/ProcessCvtPhen/CheckCvt
+(param.cpp:115-360, 1993-2097): decide which individuals are analyzed
+(non-missing phenotypes × covariates × gxe × weights), normalise the
+covariate matrix (add an intercept when absent), apply the -nind trim,
+and run SNP QC over the analyzed individuals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gemma_tpu.config import GemmaConfig
+from gemma_tpu.io.bimbam import read_bimbam_genotypes, annotate_snps
+from gemma_tpu.io.plink import read_plink
+from gemma_tpu.io.readers import (
+    read_pheno, read_covariates, read_anno, read_snp_set, read_gxe,
+    read_weights,
+)
+from gemma_tpu.io.qc import run_qc, QcResult
+from gemma_tpu.io.tables import GenotypeData
+
+
+@dataclasses.dataclass
+class Dataset:
+    geno: GenotypeData
+    pheno: np.ndarray             # (ni_total, n_ph), NaN missing
+    indicator_idv: np.ndarray     # (ni_total,) bool
+    W: np.ndarray                 # (ni_test, n_cvt) covariates incl. intercept
+    Y: np.ndarray                 # (ni_test, n_ph)
+    qc: QcResult | None
+    ids: list | None = None
+    gxe: np.ndarray | None = None     # (ni_test,)
+    weights: np.ndarray | None = None # (ni_test,)
+    is_plink: bool = False
+    snp_set: set | None = None
+    ksnps: set | None = None          # LOCO kinship SNPs
+    gwasnps: set | None = None        # LOCO association SNPs
+
+    @property
+    def ni_total(self) -> int:
+        return self.indicator_idv.shape[0]
+
+    @property
+    def ni_test(self) -> int:
+        return int(self.indicator_idv.sum())
+
+    @property
+    def n_cvt(self) -> int:
+        return self.W.shape[1]
+
+    def X_test(self) -> np.ndarray:
+        """Genotypes restricted to analyzed individuals: (p, ni_test)."""
+        return self.geno.X[:, self.indicator_idv]
+
+
+def _normalize_covariates(cvt: np.ndarray, ind_idv: np.ndarray):
+    """CheckCvt semantics (param.cpp:2099+): detect an intercept column
+    (constant over analyzed rows); add a 1s column if absent; if every
+    column is constant, collapse to a single intercept."""
+    rows = cvt[ind_idv]
+    if rows.shape[0] == 0:
+        return np.ones((cvt.shape[0], 1))
+    const_cols = [i for i in range(rows.shape[1])
+                  if rows[:, i].min() == rows[:, i].max()]
+    if len(const_cols) == rows.shape[1]:
+        return np.ones((cvt.shape[0], 1))
+    if not const_cols:
+        return np.column_stack([cvt, np.ones(cvt.shape[0])])
+    return cvt
+
+
+def _trim_individuals(ind: np.ndarray, ni_max: int) -> np.ndarray:
+    """-nind: keep only the first ni_max analyzed individuals
+    (trim_individuals, param.cpp:74-91)."""
+    if ni_max <= 0:
+        return ind
+    csum = np.cumsum(ind.astype(int))
+    out = ind.copy()
+    out[csum > ni_max] = False
+    return out
+
+
+def load_dataset(cfg: GemmaConfig, need_qc: bool = True) -> Dataset:
+    ids = None
+    is_plink = False
+
+    if cfg.file_bfile:
+        is_plink = True
+        geno, ids, fam_pheno = read_plink(cfg.file_bfile,
+                                          tuple(cfg.p_columns))
+        pheno = fam_pheno
+        if cfg.file_pheno:   # -p overrides .fam phenotypes
+            pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
+    else:
+        if not cfg.file_geno:
+            raise ValueError("no genotype file: use -g or -bfile")
+        geno = read_bimbam_genotypes(cfg.file_geno)
+        pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
+        if cfg.file_anno:
+            annotate_snps(geno.snps, read_anno(cfg.file_anno))
+
+    ni_total = pheno.shape[0]
+    if geno.n_individuals != ni_total:
+        raise ValueError(
+            f"genotype file has {geno.n_individuals} individuals but "
+            f"phenotype file has {ni_total}")
+
+    # analyzed = all selected phenotypes present
+    indicator_idv = ~np.isnan(pheno).any(axis=1)
+
+    cvt = None
+    if cfg.file_cvt:
+        cvt, ind_cvt = read_covariates(cfg.file_cvt)
+        indicator_idv &= ind_cvt
+
+    gxe_all = None
+    if cfg.file_gxe:
+        gxe_all, ind_gxe = read_gxe(cfg.file_gxe)
+        indicator_idv &= ind_gxe
+
+    weights_all = None
+    if cfg.file_weight:
+        weights_all, ind_w = read_weights(cfg.file_weight)
+        indicator_idv &= ind_w
+
+    indicator_idv = _trim_individuals(indicator_idv, cfg.ni_subsample)
+
+    if indicator_idv.sum() == 0:
+        raise ValueError("number of analyzed individuals equals 0")
+
+    if cvt is not None:
+        cvt = _normalize_covariates(cvt, indicator_idv)
+        W = cvt[indicator_idv]
+    else:
+        W = np.ones((int(indicator_idv.sum()), 1))
+
+    Y = pheno[indicator_idv]
+    gxe = gxe_all[indicator_idv] if gxe_all is not None else None
+    weights = weights_all[indicator_idv] if weights_all is not None else None
+
+    snp_set = read_snp_set(cfg.file_snps) if cfg.file_snps else None
+
+    # LOCO: split SNPs by chromosome (param.cpp LOCO_set_Snps:52-66)
+    ksnps = gwasnps = None
+    if cfg.loco:
+        ksnps, gwasnps = set(), set()
+        for rs, chr_ in zip(geno.snps.rs, geno.snps.chr):
+            if snp_set is not None and rs not in snp_set:
+                continue
+            if chr_ != cfg.loco:
+                ksnps.add(rs)
+            else:
+                gwasnps.add(rs)
+    if cfg.file_ksnps:
+        ksnps = read_snp_set(cfg.file_ksnps)
+    if cfg.file_gwasnps:
+        gwasnps = read_snp_set(cfg.file_gwasnps)
+
+    qc = None
+    if need_qc:
+        mask = None
+        if snp_set is not None:
+            mask = np.array([rs in snp_set for rs in geno.snps.rs])
+        qc = run_qc(
+            geno.X[:, indicator_idv], W,
+            miss_level=cfg.miss_level, maf_level=cfg.maf_level,
+            hwe_level=cfg.hwe_level, r2_level=cfg.r2_level,
+            snp_set_mask=mask, plink_poly=is_plink)
+        geno.snps.n_miss = qc.n_miss
+        geno.snps.missingness = qc.missingness
+        geno.snps.maf = qc.maf
+        geno.snps.n_idv = qc.n_idv
+
+    return Dataset(geno=geno, pheno=pheno, indicator_idv=indicator_idv,
+                   W=W, Y=Y, qc=qc, ids=ids, gxe=gxe, weights=weights,
+                   is_plink=is_plink, snp_set=snp_set, ksnps=ksnps,
+                   gwasnps=gwasnps)

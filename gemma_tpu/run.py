@@ -1,0 +1,297 @@
+"""Analysis drivers — the BatchRun analogue (gemma.cpp:1641-3144).
+
+Each `run_*` function wires datasets through the device kernels and
+writes GEMMA-compatible output files.  `batch_run` dispatches on
+a_mode like the reference's if-chain.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gemma_tpu import precision
+from gemma_tpu.config import GemmaConfig
+from gemma_tpu.dataset import Dataset, load_dataset
+from gemma_tpu.io.readers import read_kinship, read_eigen_u, read_eigen_d
+from gemma_tpu.io.writers import (
+    write_matrix, write_vector, write_lmm_assoc, write_lm_assoc,
+    snp_rows_from_table, ensure_outdir,
+)
+from gemma_tpu.models.lmm import fit_null, assoc_block, impute_mean
+from gemma_tpu.models.lm import lm_block
+from gemma_tpu.ops.center import center_matrix
+from gemma_tpu.ops.eigh import eigh_zeroed, zero_eigenvalues
+from gemma_tpu.ops.kinship import KinshipAccumulator
+from gemma_tpu.utils.log import RunLog, PhaseTimer
+from gemma_tpu.utils.validate import validate_kinship
+
+
+def _resolve_dtype(cfg: GemmaConfig):
+    return precision.resolve_dtype(cfg.precision)
+
+
+def _pad_block(block: np.ndarray, size: int, fill: float) -> np.ndarray:
+    if block.shape[0] == size:
+        return block
+    pad = np.full((size - block.shape[0], block.shape[1]), fill,
+                  dtype=block.dtype)
+    return np.vstack([block, pad])
+
+
+def _assoc_snp_indices(ds: Dataset) -> np.ndarray:
+    """Indices of SNPs entering association, in file order: QC-passing,
+    restricted to gwasnps under LOCO (lmm.cpp:1586)."""
+    idx = np.flatnonzero(ds.qc.indicator_snp)
+    if ds.gwasnps is not None:
+        keep = np.array([ds.geno.snps.rs[i] in ds.gwasnps for i in idx])
+        idx = idx[keep]
+    return idx
+
+
+def _kinship_snp_mask(ds: Dataset) -> np.ndarray:
+    """QC mask further restricted to ksnps under LOCO
+    (BimbamKin gemma_io.cpp:1479)."""
+    mask = ds.qc.indicator_snp.copy()
+    if ds.ksnps is not None:
+        in_k = np.array([rs in ds.ksnps for rs in ds.geno.snps.rs])
+        mask &= in_k
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# -gk: kinship
+
+def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
+    """Build the relatedness matrix over ALL individuals (ni_total),
+    from QC-passing SNPs (gemma.cpp -gk block; BimbamKin)."""
+    dtype = _resolve_dtype(cfg)
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+
+    scale = cfg.gk_mode == 2 or cfg.a_mode == 22
+    mask = _kinship_snp_mask(ds)
+
+    with log.timer.phase("kinship"):
+        acc = KinshipAccumulator(ds.ni_total, scale=scale, dtype=dtype)
+        for sel, raw in ds.geno.iter_blocks(cfg.block_size, mask):
+            block = _pad_block(raw, cfg.block_size, np.nan)
+            acc.update(block, n_valid=len(sel))
+        K = np.asarray(jax.device_get(acc.finalize()), dtype=np.float64)
+
+    if cfg.check:
+        validate_kinship(K)
+
+    ensure_outdir(cfg.path_out)
+    suffix = "sXX" if scale else "cXX"
+    write_matrix(f"{cfg.out_prefix()}.{suffix}.txt", K)
+
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of covariates"] = ds.n_cvt
+    log.summary["number of phenotypes"] = cfg.n_ph
+    log.summary["number of total SNPs/var"] = ds.geno.n_snps
+    log.summary["number of analyzed SNPs/var"] = int(mask.sum())
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return K
+
+
+# ---------------------------------------------------------------------------
+# eigendecomposition plumbing shared by -eigen and -lmm
+
+def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
+                           dtype):
+    """Read K (-k), center, eigendecompose; or load -u/-d files.
+
+    Returns (eval, U, trace_G) on device in `dtype`
+    (gemma.cpp:2584-2669)."""
+    if cfg.file_ku and cfg.file_kd:
+        U = jnp.asarray(read_eigen_u(cfg.file_ku), dtype=dtype)
+        eval_, trace_G = zero_eigenvalues(
+            jnp.asarray(read_eigen_d(cfg.file_kd), dtype=dtype))
+        return eval_, U, trace_G
+
+    if not cfg.file_kin:
+        raise ValueError("LMM requires -k kinship or -u/-d eigen files")
+    K = read_kinship(cfg.file_kin, ds.indicator_idv, ids=ds.ids,
+                     k_mode=cfg.k_mode)
+    with log.timer.phase("eigen"):
+        Kd = jnp.asarray(K, dtype=dtype)
+        Kd = center_matrix(Kd)
+        if cfg.check:
+            validate_kinship(np.asarray(jax.device_get(Kd)))
+        eval_, U, trace_G = eigh_zeroed(Kd)
+        eval_.block_until_ready()
+    return eval_, U, trace_G
+
+
+def run_eigen(cfg: GemmaConfig, log: RunLog | None = None):
+    """-eigen: write eigenU/eigenD of the centered kinship matrix."""
+    dtype = _resolve_dtype(cfg)
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+    eval_, U, _ = _load_or_compute_eigen(cfg, ds, log, dtype)
+    ensure_outdir(cfg.path_out)
+    write_matrix(f"{cfg.out_prefix()}.eigenU.txt", np.asarray(U))
+    write_vector(f"{cfg.out_prefix()}.eigenD.txt", np.asarray(eval_))
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of covariates"] = ds.n_cvt
+    log.summary["number of phenotypes"] = cfg.n_ph
+    log.summary["number of total SNPs/var"] = ds.geno.n_snps
+    log.summary["number of analyzed SNPs/var"] = ds.qc.ns_test
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+
+
+# ---------------------------------------------------------------------------
+# -lmm: univariate association
+
+def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
+    """Univariate LMM association (modes 1-5, 9) for one phenotype."""
+    dtype = _resolve_dtype(cfg)
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+    if cfg.n_ph != 1:
+        from gemma_tpu.models import mvlmm  # noqa: F401
+        raise NotImplementedError("multi-phenotype LMM: use run_mvlmm")
+
+    eval_, U, trace_G = _load_or_compute_eigen(cfg, ds, log, dtype)
+
+    W = jnp.asarray(ds.W, dtype=dtype)
+    y = jnp.asarray(ds.Y[:, 0], dtype=dtype)
+    with log.timer.phase("utx"):
+        UtW = U.T @ W
+        Uty = U.T @ y
+
+    n_cvt = ds.n_cvt
+    nf = fit_null(eval_, UtW, Uty, trace_G, n_cvt,
+                  l_min=cfg.l_min, l_max=cfg.l_max, n_region=cfg.n_region)
+
+    log.null_model = dict(
+        logl_remle_H0=float(nf.logl_remle), logl_mle_H0=float(nf.logl_mle),
+        pve_null=float(nf.pve), pve_se_null=float(nf.pve_se),
+        vg_remle_null=float(nf.vg_remle), ve_remle_null=float(nf.ve_remle),
+        beta_remle_null=np.asarray(nf.beta_remle).tolist(),
+        se_beta_remle_null=np.asarray(nf.se_beta_remle).tolist(),
+    )
+
+    # residual decomposition for -lmm 5 (gemma.cpp:2756-2788)
+    if cfg.a_mode == 5:
+        y_hat = Uty - UtW @ nf.beta_remle
+        lam = nf.l_remle
+        u_rot = lam * eval_ / (lam * eval_ + 1.0) * y_hat
+        e_rot = 1.0 / (lam * eval_ + 1.0) * y_hat
+        ensure_outdir(cfg.path_out)
+        write_vector(f"{cfg.out_prefix()}.residU.txt", np.asarray(U @ u_rot))
+        write_vector(f"{cfg.out_prefix()}.residE.txt", np.asarray(U @ e_rot))
+
+    idx = _assoc_snp_indices(ds)
+    stats = {k: [] for k in ("beta", "se", "lambda_remle", "lambda_mle",
+                             "p_wald", "p_lrt", "p_score", "logl_H1")}
+
+    X_test = ds.geno.X[:, ds.indicator_idv]
+    mode = cfg.a_mode if cfg.a_mode != 5 else 1
+    with log.timer.phase("opt"):
+        for s in range(0, len(idx), cfg.block_size):
+            sel = idx[s:s + cfg.block_size]
+            raw = impute_mean(X_test[sel])
+            block = _pad_block(raw.astype(np.float64), cfg.block_size, 0.0)
+            Utx = jnp.asarray(block, dtype=dtype) @ U
+            st = assoc_block(eval_, UtW, Uty, Utx, nf.l_mle, nf.logl_mle,
+                             n_cvt=n_cvt, mode=mode,
+                             l_min=cfg.l_min, l_max=cfg.l_max,
+                             n_region=cfg.n_region)
+            k = len(sel)
+            for name in stats:
+                stats[name].append(np.asarray(getattr(st, name))[:k])
+    stats = {k: np.concatenate(v) if v else np.zeros(0)
+             for k, v in stats.items()}
+
+    # map SUMSTAT field names → output column names
+    out_stats = dict(beta=stats["beta"], se=stats["se"],
+                     logl_H1=stats["logl_H1"],
+                     l_remle=stats["lambda_remle"],
+                     l_mle=stats["lambda_mle"],
+                     p_wald=stats["p_wald"], p_lrt=stats["p_lrt"],
+                     p_score=stats["p_score"])
+
+    ensure_outdir(cfg.path_out)
+    rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
+    write_lmm_assoc(f"{cfg.out_prefix()}.assoc.txt", mode, rows, out_stats)
+
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of covariates"] = n_cvt
+    log.summary["number of phenotypes"] = cfg.n_ph
+    log.summary["number of total SNPs/var"] = ds.geno.n_snps
+    log.summary["number of analyzed SNPs/var"] = len(idx)
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+
+    return dict(stats=out_stats, null=nf, snp_indices=idx, dataset=ds)
+
+
+# ---------------------------------------------------------------------------
+# -lm: plain linear model
+
+def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
+    dtype = _resolve_dtype(cfg)
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+
+    W = jnp.asarray(ds.W, dtype=dtype)
+    y = jnp.asarray(ds.Y[:, 0], dtype=dtype)
+    idx = _assoc_snp_indices(ds)
+    X_test = ds.geno.X[:, ds.indicator_idv]
+
+    mode = cfg.a_mode  # 51..54
+    names = ("beta", "se", "p_wald", "p_lrt", "p_score")
+    stats = {k: [] for k in names}
+    with log.timer.phase("opt"):
+        for s in range(0, len(idx), cfg.block_size):
+            sel = idx[s:s + cfg.block_size]
+            raw = impute_mean(X_test[sel])
+            block = _pad_block(raw.astype(np.float64), cfg.block_size, 0.0)
+            st = lm_block(W, y, jnp.asarray(block, dtype=dtype), mode=mode)
+            k = len(sel)
+            for name in names:
+                stats[name].append(np.asarray(getattr(st, name))[:k])
+    stats = {k: np.concatenate(v) if v else np.zeros(0)
+             for k, v in stats.items()}
+
+    ensure_outdir(cfg.path_out)
+    rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
+    write_lm_assoc(f"{cfg.out_prefix()}.assoc.txt", mode, rows, stats)
+
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of covariates"] = ds.n_cvt
+    log.summary["number of phenotypes"] = cfg.n_ph
+    log.summary["number of total SNPs/var"] = ds.geno.n_snps
+    log.summary["number of analyzed SNPs/var"] = len(idx)
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return dict(stats=stats, snp_indices=idx, dataset=ds)
+
+
+# ---------------------------------------------------------------------------
+
+def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
+    """Mode dispatch (GEMMA::BatchRun, gemma.cpp:1641)."""
+    log = RunLog(argv=argv or ["gemma-tpu"])
+    if cfg.a_mode in (21, 22):
+        run_gk(cfg, log)
+    elif cfg.a_mode == 31:
+        run_eigen(cfg, log)
+    elif cfg.a_mode in (1, 2, 3, 4, 5, 9):
+        if cfg.n_ph == 1:
+            run_lmm(cfg, log)
+        else:
+            from gemma_tpu.models.mvlmm import run_mvlmm
+            run_mvlmm(cfg, log)
+    elif cfg.a_mode in (51, 52, 53, 54):
+        run_lm(cfg, log)
+    else:
+        raise NotImplementedError(f"analysis mode {cfg.a_mode} not yet "
+                                  "implemented")

@@ -1,0 +1,77 @@
+"""End-to-end golden tests on the BXD dataset.
+
+Replicates the reference regression suite (test/dev_tests.rb:26-55):
+kinship from BXD genotypes with covariates, then -lmm 2 (LRT) and
+-lmm 9 (LRT+score), asserting the same output cells at the same 1e-3
+tolerance GEMMA's own CI uses.  All values compare against numbers the
+reference produces with `-no-check -maf 0.1`.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gemma_tpu.cli import parse_args
+from gemma_tpu.run import batch_run
+
+EXAMPLE = "/root/reference/example"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{EXAMPLE}/BXD_geno.txt.gz"),
+    reason="BXD example data not available")
+
+
+def _read_table(path):
+    with open(path) as fh:
+        lines = [ln.rstrip("\n").split("\t") for ln in fh]
+    return lines[0], lines[1:]
+
+
+def _col(header, rows, name):
+    j = header.index(name)
+    return np.array([float(r[j]) for r in rows])
+
+
+@pytest.fixture(scope="module")
+def bxd_outputs(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bxd"))
+    common = (f"-g {EXAMPLE}/BXD_geno.txt.gz -p {EXAMPLE}/BXD_pheno.txt "
+              f"-c {EXAMPLE}/BXD_covariates2.txt -a {EXAMPLE}/BXD_snps.txt "
+              f"-outdir {out} -precision float64")
+    batch_run(parse_args((common + " -gk -o BXD").split()))
+    batch_run(parse_args(
+        (common + f" -k {out}/BXD.cXX.txt -lmm 2 -no-check -maf 0.1 "
+         "-o BXDLMM").split()))
+    batch_run(parse_args(
+        (common + f" -k {out}/BXD.cXX.txt -lmm 9 -no-check -maf 0.1 "
+         "-o BXDLMM9").split()))
+    return out
+
+
+def test_bxd_kinship_wrote_full_matrix(bxd_outputs):
+    K = np.loadtxt(f"{bxd_outputs}/BXD.cXX.txt")
+    assert K.shape[0] == K.shape[1]
+    # kinship covers ALL individuals in the pheno file (ni_total)
+    n_total = sum(1 for _ in open(f"{EXAMPLE}/BXD_pheno.txt"))
+    assert K.shape[0] == n_total
+    np.testing.assert_allclose(K, K.T, atol=1e-12)
+
+
+def test_bxd_lmm2_golden(bxd_outputs):
+    """dev_tests.rb:42-43 — p_lrt cell and max."""
+    header, rows = _read_table(f"{bxd_outputs}/BXDLMM.assoc.txt")
+    # expect [2, 9]: file line index 2 → data row 1 (0-based), column 9
+    assert abs(float(rows[1][9]) - 1.234747e-01) < 1e-3
+    p_lrt = _col(header, rows, "p_lrt")
+    assert abs(p_lrt.max() - 9.997119e-01) < 1e-3
+
+
+def test_bxd_lmm9_golden(bxd_outputs):
+    """dev_tests.rb:53-54 — max l_mle and max p_lrt."""
+    header, rows = _read_table(f"{bxd_outputs}/BXDLMM9.assoc.txt")
+    l_mle = _col(header, rows, "l_mle")
+    p_lrt = _col(header, rows, "p_lrt")
+    # the reference asserts the l_mle value on the row with max l_mle
+    assert abs(l_mle.max() - 0.7531109) < 1e-3
+    assert abs(p_lrt.max() - 9.997119e-01) < 1e-3
