@@ -117,13 +117,10 @@ class AssocStats(NamedTuple):
     logl_H1: jax.Array
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_cvt", "mode", "l_min", "l_max", "n_region"))
-def assoc_block(eval_, UtW, Uty, Utx_block, l_mle_null, logl_mle_H0,
-                n_cvt: int, mode: int,
-                l_min: float = 1e-5, l_max: float = 1e5,
-                n_region: int = 10) -> AssocStats:
+def assoc_block_impl(eval_, UtW, Uty, Utx_block, l_mle_null, logl_mle_H0,
+                     n_cvt: int, mode: int,
+                     l_min: float = 1e-5, l_max: float = 1e5,
+                     n_region: int = 10) -> AssocStats:
     """Association statistics for one rotated SNP block (S, n).
 
     Utx_block rows are U'x for mean-imputed (uncentered) genotype
@@ -168,6 +165,11 @@ def assoc_block(eval_, UtW, Uty, Utx_block, l_mle_null, logl_mle_H0,
     return AssocStats(beta=beta, se=se, lambda_remle=lambda_remle,
                       lambda_mle=lambda_mle, p_wald=p_wald, p_lrt=p_lrt,
                       p_score=p_score, logl_H1=logl_H1)
+
+
+assoc_block = jax.jit(
+    assoc_block_impl,
+    static_argnames=("n_cvt", "mode", "l_min", "l_max", "n_region"))
 
 
 def impute_mean(x_raw: np.ndarray) -> np.ndarray:

@@ -199,10 +199,10 @@ def logf(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
         for i in range(nc_total):
             d = idx.diag[i]
             logdet_hiw = logdet_hiw + jnp.log(pab[i][..., d]) - jnp.log(iab[i][..., d])
-        c = 0.5 * df * (np.log(df) - _LOG_2PI - 1.0)
+        c = float(0.5 * df * (np.log(df) - _LOG_2PI - 1.0))
         return c - 0.5 * logdet_h - 0.5 * logdet_hiw - 0.5 * df * jnp.log(p_yy)
     else:
-        c = 0.5 * n * (np.log(float(n)) - _LOG_2PI - 1.0)
+        c = float(0.5 * n * (np.log(float(n)) - _LOG_2PI - 1.0))
         return c - 0.5 * logdet_h - 0.5 * n * jnp.log(p_yy)
 
 

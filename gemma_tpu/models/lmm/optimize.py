@@ -178,7 +178,8 @@ class _NewtonState(NamedTuple):
     it: jax.Array
 
 
-def _newton_batched(fdf: Callable, x0, active, l_min: float, l_max: float):
+def _newton_batched(fdf: Callable, x0, active, l_min: float, l_max: float,
+                    epsrel: float = _NEWTON_EPSREL):
     """Vectorised GSL-Newton polish with GEMMA's exit semantics.
 
     Returns (root = second-to-last iterate, converged, failed).
@@ -203,7 +204,7 @@ def _newton_batched(fdf: Callable, x0, active, l_min: float, l_max: float):
         f_new, df_new = fdf(step_x)
         bad = ~jnp.isfinite(f_new) | ~jnp.isfinite(df_new)
         # GSL test_delta(x1=new, x0=old, epsabs=0, epsrel=1e-5)
-        conv = (jnp.abs(step_x - s.x) < _NEWTON_EPSREL * jnp.abs(step_x)) | (
+        conv = (jnp.abs(step_x - s.x) < epsrel * jnp.abs(step_x)) | (
             step_x == s.x)
         oob = ~((step_x > l_min) & (step_x < l_max))
 
@@ -237,9 +238,20 @@ class LambdaResult(NamedTuple):
 def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
                 reml: bool, l_min: float, l_max: float,
                 n_region: int) -> LambdaResult:
-    """Batched equivalent of GEMMA CalcLambda over a SNP block."""
+    """Batched equivalent of GEMMA CalcLambda over a SNP block.
+
+    In float64 the GSL semantics are replicated exactly, including the
+    NaN poisoning on Newton failure (golden parity).  In float32 (TPU
+    speed mode) the 1e-5 relative Newton tolerance sits below the
+    noise floor of the derivative (cancellation of O(n) terms), so the
+    tolerance is widened to 5e-4 — still far tighter than the 1e-3
+    p-value tolerance — and a lane whose Newton polish fails falls
+    back to its Brent bracket root instead of NaN.
+    """
     S = data.Utx.shape[0]
     dtype = data.eval.dtype
+    strict = dtype == jnp.float64
+    newton_epsrel = _NEWTON_EPSREL if strict else 5e-4
 
     def f_dev1(lam):
         return lk.dev1(lam, data, n_cvt, calc_null, reml)
@@ -302,9 +314,16 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
 
         newton_active = active & brent_conv
         root_n, nt_conv, nt_failed = _newton_batched(
-            f_dev12, root_b, newton_active, l_min, l_max)
+            f_dev12, root_b, newton_active, l_min, l_max,
+            epsrel=newton_epsrel)
 
-        cand_ok = newton_active & nt_conv
+        if strict:
+            cand_ok = newton_active & nt_conv
+        else:
+            # robust mode: Newton failure falls back to the Brent root
+            root_n = jnp.where(nt_conv, root_n, root_b)
+            nt_failed = jnp.zeros_like(nt_failed)
+            cand_ok = newton_active
         l_cand = jnp.clip(root_n, l_min, l_max)
         logf_cand = f_logf(l_cand)
 
