@@ -84,9 +84,11 @@ def _trim_individuals(ind: np.ndarray, ni_max: int) -> np.ndarray:
     return out
 
 
-def load_dataset(cfg: GemmaConfig, need_qc: bool = True) -> Dataset:
+def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
+                 need_geno: bool = True) -> Dataset:
     ids = None
     is_plink = False
+    geno = None
 
     if cfg.file_bfile:
         is_plink = True
@@ -95,16 +97,19 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True) -> Dataset:
         pheno = fam_pheno
         if cfg.file_pheno:   # -p overrides .fam phenotypes
             pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
-    else:
-        if not cfg.file_geno:
-            raise ValueError("no genotype file: use -g or -bfile")
+    elif cfg.file_geno:
         geno = read_bimbam_genotypes(cfg.file_geno)
         pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
         if cfg.file_anno:
             annotate_snps(geno.snps, read_anno(cfg.file_anno))
+    elif not need_geno:
+        pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
+        need_qc = False
+    else:
+        raise ValueError("no genotype file: use -g or -bfile")
 
     ni_total = pheno.shape[0]
-    if geno.n_individuals != ni_total:
+    if geno is not None and geno.n_individuals != ni_total:
         raise ValueError(
             f"genotype file has {geno.n_individuals} individuals but "
             f"phenotype file has {ni_total}")
@@ -146,7 +151,7 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True) -> Dataset:
 
     # LOCO: split SNPs by chromosome (param.cpp LOCO_set_Snps:52-66)
     ksnps = gwasnps = None
-    if cfg.loco:
+    if cfg.loco and geno is not None:
         ksnps, gwasnps = set(), set()
         for rs, chr_ in zip(geno.snps.rs, geno.snps.chr):
             if snp_set is not None and rs not in snp_set:

@@ -157,6 +157,23 @@ def read_kinship(path: str, indicator_idv: np.ndarray,
     return G
 
 
+def read_multi_kinship(path: str, indicator_idv: np.ndarray,
+                       ids: list | None = None,
+                       k_mode: int = 1) -> np.ndarray:
+    """-mk: file listing kinship-matrix file paths, one per line
+    (ReadFile_mk gemma_io.cpp:1296).  Returns (m, ni_test, ni_test)."""
+    mats = []
+    with open(path) as fh:
+        for line in fh:
+            fn = line.strip()
+            if fn:
+                mats.append(read_kinship(fn, indicator_idv, ids=ids,
+                                         k_mode=k_mode))
+    if not mats:
+        raise ValueError(f"{path}: no kinship files listed")
+    return np.stack(mats)
+
+
 def read_eigen_u(path: str) -> np.ndarray:
     """Eigenvector matrix file (ReadFile_eigenU gemma_io.cpp:1323)."""
     return np.loadtxt(path, dtype=np.float64)

@@ -97,6 +97,41 @@ def write_lm_assoc(path: str, mode: int, snp_rows: list, stats: dict) -> None:
             fh.write("\n")
 
 
+def write_mvlmm_assoc(path: str, mode: int, n_ph: int, snp_rows: list,
+                      beta: np.ndarray, Vbeta: np.ndarray,
+                      p_wald, p_lrt, p_score) -> None:
+    """mvLMM assoc.txt (MVLMM::WriteFiles, mvlmm.cpp:117-210):
+    beta_1..d, upper-triangle Vbeta_i_j, then the mode's p column(s)."""
+    d = n_ph
+    with open(path, "w") as fh:
+        fh.write("chr\trs\tps\tn_miss\tallele1\tallele0\taf\t")
+        cols = [f"beta_{i+1}" for i in range(d)]
+        cols += [f"Vbeta_{i+1}_{j+1}" for i in range(d) for j in range(i, d)]
+        if mode == 1:
+            cols += ["p_wald"]
+        elif mode == 2:
+            cols += ["p_lrt"]
+        elif mode == 3:
+            cols += ["p_score"]
+        elif mode == 4:
+            cols += ["p_wald", "p_lrt", "p_score"]
+        fh.write("\t".join(cols) + "\n")
+        for t, s in enumerate(snp_rows):
+            fh.write(f"{s['chr']}\t{s['rs']}\t{s['ps']}\t{s['n_miss']}\t"
+                     f"{s['allele1']}\t{s['allele0']}\t{s['af']:.3f}\t")
+            vals = [beta[t, i] for i in range(d)]
+            vals += [Vbeta[t, i, j] for i in range(d) for j in range(i, d)]
+            if mode == 1:
+                vals += [p_wald[t]]
+            elif mode == 2:
+                vals += [p_lrt[t]]
+            elif mode == 3:
+                vals += [p_score[t]]
+            elif mode == 4:
+                vals += [p_wald[t], p_lrt[t], p_score[t]]
+            fh.write("\t".join(_fmt_sci6(float(v)) for v in vals) + "\n")
+
+
 def snp_rows_from_table(snps, qc, order: np.ndarray) -> list:
     """Build writer rows for the analyzed SNPs in output order."""
     rows = []

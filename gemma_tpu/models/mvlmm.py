@@ -1,0 +1,268 @@
+"""Multivariate LMM driver (-lmm with multiple -n columns).
+
+Orchestrates mvlmm_core into GEMMA's analysis flow
+(MVLMM::AnalyzeBimbam/AnalyzePlink, mvlmm.cpp:2972-3416):
+
+  null model:  MphInitial (univariate REML diagonals) → EM('R') →
+               NR('R') → B/se(B); repeat with 'L' for the LRT null.
+  per SNP:     reset (Vg, Ve) to the null estimates, short EM
+               (em_iter/10), Wald/LRT/score p; SNPs with p < -pnr are
+               compacted and refined with Newton-Raphson (nr_iter/10).
+
+The per-SNP EM runs for a whole block in lockstep on device; the rare
+NR refinement runs on a host-compacted sub-batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gemma_tpu.models import mvlmm_core as core
+from gemma_tpu.models.lmm import likelihood as lk
+from gemma_tpu.models.lmm.optimize import calc_lambda
+from gemma_tpu.models.lmm.engine import _vg_ve_beta
+from gemma_tpu.ops.stats import chisq_sf
+
+
+def mph_initial(eval_, X, Y, l_min=1e-5, l_max=1e5, n_region=10,
+                em_iter=10000, em_prec=1e-4, nr_iter=100, nr_prec=1e-4):
+    """Initial (Vg, Ve, B) (MphInitial, mvlmm.cpp:2763-2948).
+
+    Diagonals from univariate REML per trait; for d > 4 the
+    off-diagonals come from pairwise two-trait fits; B from the GLS
+    formula at the initial (Vg, Ve).
+    """
+    d = Y.shape[0]
+    c = X.shape[0]
+    n = eval_.shape[0]
+    Xt = jnp.swapaxes(X, -1, -2)                      # (n, c)
+
+    vgs, ves = [], []
+    for i in range(d):
+        data = lk.null_batch_data(eval_, Xt, Y[i], c)
+        res = calc_lambda(data, c, calc_null=True, reml=True,
+                          l_min=l_min, l_max=l_max, n_region=n_region)
+        vg, ve, _, _ = _vg_ve_beta(eval_, Xt, Y[i], res.lam[0], c)
+        vgs.append(vg)
+        ves.append(ve)
+    Vg = jnp.diag(jnp.stack(vgs))
+    Ve = jnp.diag(jnp.stack(ves))
+
+    if d > 4:
+        # pairwise two-trait refits for off-diagonals (mvlmm.cpp:2805-2884)
+        Vg = np.asarray(Vg)
+        Ve = np.asarray(Ve)
+        for i in range(d):
+            for j in range(i + 1, d):
+                Ys = jnp.stack([Y[i], Y[j]])
+                Vg_s = jnp.diag(jnp.asarray([Vg[i, i], Vg[j, j]]))
+                Ve_s = jnp.diag(jnp.asarray([Ve[i, i], Ve[j, j]]))
+                B_s = jnp.zeros((2, c), Y.dtype)
+                Vg_s, Ve_s, B_s, _ = core.mph_em(
+                    True, em_iter, em_prec, eval_, X, Ys, Vg_s, Ve_s, B_s)
+                Vg_s, Ve_s, _, _ = core.mph_nr(
+                    True, nr_iter, nr_prec, eval_, X, Ys, Vg_s, Ve_s)
+                Vg[i, j] = Vg[j, i] = float(Vg_s[0, 1])
+                Ve[i, j] = Ve[j, i] = float(Ve_s[0, 1])
+        Vg = jnp.asarray(Vg)
+        Ve = jnp.asarray(Ve)
+
+    # B-hat at the initial (Vg, Ve) (mvlmm.cpp:2886-2935)
+    B, _ = core.mph_calc_beta(eval_, X, Y, Vg, Ve)
+    return Vg, Ve, B
+
+
+@functools.partial(jax.jit, static_argnames=("reml", "em_iter", "em_prec"))
+def _assoc_em_block(eval_, X0, Y, x_block, Vg_null, Ve_null, B_null,
+                    reml: bool, em_iter: int, em_prec: float):
+    """Short per-SNP EM for one block + Wald statistics."""
+    S = x_block.shape[0]
+    d = Y.shape[0]
+    c = X0.shape[0]
+    X_alt = jnp.concatenate(
+        [jnp.broadcast_to(X0, (S, c, X0.shape[1])), x_block[:, None, :]],
+        axis=1)
+    Vg0 = jnp.broadcast_to(Vg_null, (S, d, d))
+    Ve0 = jnp.broadcast_to(Ve_null, (S, d, d))
+    B0 = jnp.broadcast_to(B_null, (S, d, c + 1))
+    Vg, Ve, B, logl = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
+                                  Vg0, Ve0, B0)
+    stat, beta, Vbeta = core.mph_calc_p(eval_, x_block, X0, Y, Vg, Ve)
+    return logl, stat, beta, Vbeta
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reml", "nr_iter", "nr_prec"))
+def _assoc_nr_block(eval_, X0, Y, x_block, Vg, Ve,
+                    reml: bool, nr_iter: int, nr_prec: float):
+    """NR refinement for a compacted sub-batch (per-lane X)."""
+    S = x_block.shape[0]
+    c = X0.shape[0]
+    X_alt = jnp.concatenate(
+        [jnp.broadcast_to(X0, (S, c, X0.shape[1])), x_block[:, None, :]],
+        axis=1)
+    Vg2, Ve2, logl, _ = core.mph_nr(reml, nr_iter, nr_prec, eval_, X_alt,
+                                    Y, Vg, Ve)
+    stat, beta, Vbeta = core.mph_calc_p(eval_, x_block, X0, Y, Vg2, Ve2)
+    return logl, stat, beta, Vbeta
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("reml", "em_iter", "em_prec", "nr_iter", "nr_prec"))
+def _em_then_nr_block(eval_, X0, Y, x_block, Vg_null, Ve_null, B_null,
+                      reml: bool, em_iter: int, em_prec: float,
+                      nr_iter: int, nr_prec: float):
+    """Short EM then NR refinement for a (small) compacted block."""
+    S = x_block.shape[0]
+    d = Y.shape[0]
+    c = X0.shape[0]
+    X_alt = jnp.concatenate(
+        [jnp.broadcast_to(X0, (S, c, X0.shape[1])), x_block[:, None, :]],
+        axis=1)
+    Vg0 = jnp.broadcast_to(Vg_null, (S, d, d))
+    Ve0 = jnp.broadcast_to(Ve_null, (S, d, d))
+    B0 = jnp.broadcast_to(B_null, (S, d, c + 1))
+    Vg, Ve, _, _ = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
+                               Vg0, Ve0, B0)
+    Vg2, Ve2, logl, _ = core.mph_nr(reml, nr_iter, nr_prec, eval_, X_alt,
+                                    Y, Vg, Ve)
+    stat, beta, Vbeta = core.mph_calc_p(eval_, x_block, X0, Y, Vg2, Ve2)
+    return logl, stat, beta, Vbeta
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _score_block(eval_, X0, Y, x_block, Vg_null, Ve_null):
+    S = x_block.shape[0]
+    d = Y.shape[0]
+    Vg0 = jnp.broadcast_to(Vg_null, (S, d, d))
+    Ve0 = jnp.broadcast_to(Ve_null, (S, d, d))
+    return core.mph_calc_p(eval_, x_block, X0, Y, Vg0, Ve0)
+
+
+class MvlmmNull:
+    """Null-model fits for both REML and ML criteria."""
+
+    def __init__(self, eval_, X0, Y, cfg):
+        d = Y.shape[0]
+        Vg, Ve, B = mph_initial(
+            eval_, X0, Y, l_min=cfg.l_min, l_max=cfg.l_max,
+            n_region=cfg.n_region, em_iter=cfg.em_iter,
+            em_prec=cfg.em_prec, nr_iter=cfg.nr_iter, nr_prec=cfg.nr_prec)
+        Vg, Ve, B, _ = core.mph_em(True, cfg.em_iter, cfg.em_prec,
+                                   eval_, X0, Y, Vg, Ve, B)
+        Vg, Ve, logl_r, Hvar = core.mph_nr(True, cfg.nr_iter, cfg.nr_prec,
+                                           eval_, X0, Y, Vg, Ve)
+        B_r, se_B_r = core.mph_calc_beta(eval_, X0, Y, Vg, Ve)
+        self.Vg_remle, self.Ve_remle = Vg, Ve
+        self.B_remle, self.se_B_remle = B_r, se_B_r
+        self.logl_remle_H0 = float(logl_r)
+        v_size = d * (d + 1) // 2
+        self.VVg_remle = np.diag(np.asarray(Hvar))[:v_size]
+        self.VVe_remle = np.diag(np.asarray(Hvar))[v_size:]
+
+        Vg2, Ve2, B2, _ = core.mph_em(False, cfg.em_iter, cfg.em_prec,
+                                      eval_, X0, Y, Vg, Ve, B_r)
+        Vg2, Ve2, logl_m, _ = core.mph_nr(False, cfg.nr_iter, cfg.nr_prec,
+                                          eval_, X0, Y, Vg2, Ve2)
+        B_m, se_B_m = core.mph_calc_beta(eval_, X0, Y, Vg2, Ve2)
+        self.Vg_mle, self.Ve_mle = Vg2, Ve2
+        self.B_mle, self.se_B_mle = B_m, se_B_m
+        self.logl_mle_H0 = float(logl_m)
+
+        # per-SNP fits start from the MLE null (mvlmm.cpp:3206-3208:
+        # V_g_null is whatever V_g holds after the MLE refit)
+        self.Vg_start, self.Ve_start = Vg2, Ve2
+        c1 = X0.shape[0] + 1
+        self.B_start = jnp.concatenate(
+            [B_m, jnp.zeros((d, 1), B_m.dtype)], axis=1)
+
+
+def _bucket(n: int, lo: int = 32) -> int:
+    """Round up to a power-of-two bucket to bound jit signatures."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_rows(arr: jnp.ndarray, size: int) -> jnp.ndarray:
+    if arr.shape[0] == size:
+        return arr
+    reps = jnp.broadcast_to(arr[:1], (size - arr.shape[0],) + arr.shape[1:])
+    return jnp.concatenate([arr, reps], axis=0)
+
+
+def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
+                dtype):
+    """Association statistics for one (S, n) rotated SNP block.
+
+    Returns dict of host arrays.  Mirrors the mode logic of
+    mvlmm.cpp:3298-3353 including the p < -pnr NR refinement.
+    """
+    d = Y.shape[0]
+    S = x_block.shape[0]
+    em_iter = max(cfg.em_iter // 10, 1)
+    em_prec = cfg.em_prec * 10
+    nr_iter = max(cfg.nr_iter // 10, 1)
+    nr_prec = cfg.nr_prec * 10
+
+    p_wald = np.zeros(S)
+    p_lrt = np.zeros(S)
+    p_score = np.zeros(S)
+    beta = np.zeros((S, d))
+    Vbeta = np.zeros((S, d, d))
+
+    if mode in (3, 4):
+        stat, b, Vb = _score_block(eval_, X0, Y, x_block,
+                                   null.Vg_start, null.Ve_start)
+        p_score = np.array(chisq_sf(stat, float(d)))
+        beta, Vbeta = np.array(b), np.array(Vb)
+
+    def _nr_refine(reml: bool, idx: np.ndarray):
+        """EM-refit then NR for the compacted lanes idx, padded to a
+        power-of-two bucket so jit signatures stay bounded."""
+        size = _bucket(len(idx))
+        xs = _pad_rows(jnp.asarray(x_block[idx]), size)
+        logl2, stat2, b2, Vb2 = _em_then_nr_block(
+            eval_, X0, Y, xs, null.Vg_start, null.Ve_start, null.B_start,
+            reml=reml, em_iter=em_iter, em_prec=em_prec,
+            nr_iter=nr_iter, nr_prec=nr_prec)
+        k = len(idx)
+        return (np.asarray(logl2)[:k], np.asarray(stat2)[:k],
+                np.asarray(b2)[:k], np.asarray(Vb2)[:k])
+
+    if mode in (2, 4):
+        logl, stat, b, Vb = _assoc_em_block(
+            eval_, X0, Y, x_block, null.Vg_start, null.Ve_start,
+            null.B_start, reml=False, em_iter=em_iter, em_prec=em_prec)
+        p_lrt = np.array(chisq_sf(2.0 * (logl - null.logl_mle_H0),
+                                  float(d)))
+        beta, Vbeta = np.array(b), np.array(Vb)
+        idx = np.flatnonzero(p_lrt < cfg.p_nr)
+        if len(idx):
+            logl2, stat2, b2, Vb2 = _nr_refine(False, idx)
+            p_lrt[idx] = np.asarray(
+                chisq_sf(2.0 * (logl2 - null.logl_mle_H0), float(d)))
+            beta[idx] = b2
+            Vbeta[idx] = Vb2
+
+    if mode in (1, 4):
+        logl, stat, b, Vb = _assoc_em_block(
+            eval_, X0, Y, x_block, null.Vg_start, null.Ve_start,
+            null.B_start, reml=True, em_iter=em_iter, em_prec=em_prec)
+        p_wald = np.array(chisq_sf(stat, float(d)))
+        beta, Vbeta = np.array(b), np.array(Vb)
+        idx = np.flatnonzero(p_wald < cfg.p_nr)
+        if len(idx):
+            logl2, stat2, b2, Vb2 = _nr_refine(True, idx)
+            p_wald[idx] = np.asarray(chisq_sf(stat2, float(d)))
+            beta[idx] = b2
+            Vbeta[idx] = Vb2
+
+    return dict(p_wald=p_wald, p_lrt=p_lrt, p_score=p_score,
+                beta=beta, Vbeta=Vbeta)

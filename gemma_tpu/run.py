@@ -155,8 +155,7 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
     if cfg.n_ph != 1:
-        from gemma_tpu.models import mvlmm  # noqa: F401
-        raise NotImplementedError("multi-phenotype LMM: use run_mvlmm")
+        raise ValueError("run_lmm is single-phenotype; use run_mvlmm")
 
     eval_, U, trace_G = _load_or_compute_eigen(cfg, ds, log, dtype)
 
@@ -234,6 +233,75 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# multivariate LMM (multiple -n columns)
+
+def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
+    from gemma_tpu.io.writers import write_mvlmm_assoc
+    from gemma_tpu.models.mvlmm import MvlmmNull, mvlmm_assoc
+
+    dtype = _resolve_dtype(cfg)
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+    d = cfg.n_ph
+
+    eval_, U, trace_G = _load_or_compute_eigen(cfg, ds, log, dtype)
+
+    W = jnp.asarray(ds.W, dtype=dtype)
+    Ymat = jnp.asarray(ds.Y, dtype=dtype)             # (n, d)
+    with log.timer.phase("utx"):
+        UtW = U.T @ W
+        UtY = U.T @ Ymat
+    X0 = UtW.T                                        # (c, n)
+    Y = UtY.T                                         # (d, n)
+
+    null = MvlmmNull(eval_, X0, Y, cfg)
+    log.null_model = dict(logl_remle_H0=null.logl_remle_H0,
+                          logl_mle_H0=null.logl_mle_H0)
+    vg = np.asarray(null.Vg_remle)
+    ve = np.asarray(null.Ve_remle)
+    log.extra.append("REMLE estimate for Vg in the null model: " +
+                     " ".join(f"{vg[i, j]:.6g}" for i in range(d)
+                              for j in range(i + 1)))
+    log.extra.append("REMLE estimate for Ve in the null model: " +
+                     " ".join(f"{ve[i, j]:.6g}" for i in range(d)
+                              for j in range(i + 1)))
+
+    idx = _assoc_snp_indices(ds)
+    X_test = ds.geno.X[:, ds.indicator_idv]
+    block = min(cfg.block_size, 1024)
+
+    outs = dict(p_wald=[], p_lrt=[], p_score=[], beta=[], Vbeta=[])
+    mode = cfg.a_mode
+    with log.timer.phase("opt"):
+        for s in range(0, len(idx), block):
+            sel = idx[s:s + block]
+            raw = impute_mean(X_test[sel])
+            padded = _pad_block(raw.astype(np.float64), block, 0.0)
+            Utx = jnp.asarray(padded, dtype=dtype) @ U
+            res = mvlmm_assoc(eval_, X0, Y, Utx, null, mode, cfg, dtype)
+            k = len(sel)
+            for name in outs:
+                outs[name].append(res[name][:k])
+    outs = {k: np.concatenate(v) if v else np.zeros((0,))
+            for k, v in outs.items()}
+
+    ensure_outdir(cfg.path_out)
+    rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
+    write_mvlmm_assoc(f"{cfg.out_prefix()}.assoc.txt", mode, d, rows,
+                      outs["beta"], outs["Vbeta"], outs["p_wald"],
+                      outs["p_lrt"], outs["p_score"])
+
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of covariates"] = ds.n_cvt
+    log.summary["number of phenotypes"] = d
+    log.summary["number of total SNPs/var"] = ds.geno.n_snps
+    log.summary["number of analyzed SNPs/var"] = len(idx)
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode, n_ph=d)
+    return dict(stats=outs, null=null, snp_indices=idx, dataset=ds)
+
+
+# ---------------------------------------------------------------------------
 # -lm: plain linear model
 
 def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
@@ -276,6 +344,62 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# -vc: variance components (individual-level path)
+
+def run_vc(cfg: GemmaConfig, log: RunLog | None = None):
+    from gemma_tpu.io.readers import read_multi_kinship
+    from gemma_tpu.models.vc import vc_he, vc_reml_ai
+
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg, need_geno=False)
+    if cfg.n_ph != 1:
+        raise NotImplementedError("-vc supports one phenotype")
+
+    # read kinship stack, center, record traces (gemma.cpp:2332-2374)
+    if cfg.file_mk:
+        K = read_multi_kinship(cfg.file_mk, ds.indicator_idv, ids=ds.ids,
+                               k_mode=cfg.k_mode)
+    elif cfg.file_kin:
+        K = read_kinship(cfg.file_kin, ds.indicator_idv, ids=ds.ids,
+                         k_mode=cfg.k_mode)[None]
+    else:
+        raise ValueError("-vc requires -k or -mk")
+
+    Kc = np.stack([np.asarray(center_matrix(jnp.asarray(Ki))) for Ki in K])
+    v_traceG = np.array([np.mean(np.diag(Ki)) for Ki in Kc])
+    if cfg.check and cfg.file_kin:
+        validate_kinship(Kc[0])
+
+    y = ds.Y[:, 0]
+    if cfg.a_mode == 61:
+        res = vc_he(Kc, ds.W, y, v_traceG)
+    elif cfg.a_mode == 62:
+        res = vc_reml_ai(Kc, ds.W, y, v_traceG)
+    else:
+        raise NotImplementedError("-vc 3 (ACL) not yet implemented")
+
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of covariates"] = ds.n_cvt
+    log.summary["number of phenotypes"] = cfg.n_ph
+    log.summary["number of variance components"] = K.shape[0]
+    log.extra.append("pve estimates = " +
+                     "".join(f"  {v:.6g}" for v in res.pve))
+    log.extra.append("se(pve) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_pve))
+    if K.shape[0] > 1:
+        log.extra.append(f"total pve = {res.pve_total:.6g}")
+        log.extra.append(f"se(total pve) = {res.se_pve_total:.6g}")
+    log.extra.append("sigma2 estimates = " +
+                     "".join(f"  {v:.6g}" for v in res.sigma2))
+    log.extra.append("se(sigma2) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_sigma2))
+    ensure_outdir(cfg.path_out)
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return res
+
+
+# ---------------------------------------------------------------------------
 
 def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     """Mode dispatch (GEMMA::BatchRun, gemma.cpp:1641)."""
@@ -288,10 +412,11 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
         if cfg.n_ph == 1:
             run_lmm(cfg, log)
         else:
-            from gemma_tpu.models.mvlmm import run_mvlmm
             run_mvlmm(cfg, log)
     elif cfg.a_mode in (51, 52, 53, 54):
         run_lm(cfg, log)
+    elif cfg.a_mode in (61, 62, 63):
+        run_vc(cfg, log)
     else:
         raise NotImplementedError(f"analysis mode {cfg.a_mode} not yet "
                                   "implemented")
