@@ -1,0 +1,105 @@
+"""Phenotype prediction (-predict 1/2; reference src/prdt.cpp).
+
+Mode 41: for individuals with missing phenotypes, accumulate
+y_hat = mu + sum_s beta_s (x_s - mean_train(x_s)) over SNPs present in
+the estimated-parameter file (PRDT::AnalyzeBimbam/Plink,
+prdt.cpp:207-446), optionally adding kinship-propagated breeding
+values u_f = K_fo K_oo^+ u_hat (AddBV, prdt.cpp:133-205).
+Mode 42: probit scale, y → Phi(y) (gemma.cpp:1715-1722).
+
+TPU-native: the per-SNP accumulation is one matmul
+(test-genotypes (f, p_used) @ effects (p_used,)) after vectorised
+train-mean centering; AddBV is an eigensolve + three matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from gemma_tpu.ops.stats import normal_cdf
+from gemma_tpu.ops.eigh import EIGEN_MINVALUE
+
+
+def read_est(path: str, est_column=(2, 5, 6, 7)) -> dict:
+    """BSLMM .param.txt-style estimates → {rs: alpha + beta*gamma}
+    (ReadFile_est, gemma_io.cpp; column 0 means 'absent', value
+    defaults alpha=0, beta=0, gamma=1)."""
+    out = {}
+    rs_c, a_c, b_c, g_c = est_column
+    with open(path) as fh:
+        next(fh)  # header
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            rs = parts[rs_c - 1]
+            alpha = float(parts[a_c - 1]) if a_c > 0 else 0.0
+            beta = float(parts[b_c - 1]) if b_c > 0 else 0.0
+            gamma = float(parts[g_c - 1]) if g_c > 0 else 1.0
+            if rs in out:
+                raise ValueError(f"duplicate SNP {rs} in {path}")
+            out[rs] = alpha + beta * gamma
+    return out
+
+
+def predict_effects(X_raw: np.ndarray, rs_names, indicator_idv: np.ndarray,
+                    effects: dict) -> tuple:
+    """Sum of genotype-effect products for test individuals.
+
+    X_raw: (p, ni_total) raw dosages (NaN missing); indicator_idv True
+    for training rows.  Test genotypes are centered by the TRAINING
+    mean; test-missing values are imputed at the test mean before
+    centering (prdt.cpp:253-295).  Returns (y_add (n_test,), ns_used).
+    """
+    train = indicator_idv
+    test = ~indicator_idv
+    used = [i for i, rs in enumerate(rs_names) if rs in effects]
+    if not used:
+        return np.zeros(int(test.sum())), 0
+
+    Xu = X_raw[used]
+    bvec = np.array([effects[rs_names[i]] for i in used])
+
+    Xtr = Xu[:, train]
+    Xte = Xu[:, test]
+    with np.errstate(invalid="ignore"):
+        train_mean = np.nanmean(Xtr, axis=1)
+        test_mean = np.nanmean(Xte, axis=1)
+    # SNPs missing for ALL test individuals are skipped (prdt.cpp:279)
+    ok = ~np.isnan(test_mean)
+    Xte = np.where(np.isnan(Xte), test_mean[:, None], Xte)
+    Xc = Xte - train_mean[:, None]
+    Xc = np.where(ok[:, None], Xc, 0.0)
+    bvec = np.where(ok, bvec, 0.0)
+
+    y_add = np.asarray(
+        jnp.matmul(jnp.asarray(bvec)[None, :], jnp.asarray(Xc))[0])
+    return y_add, int(ok.sum())
+
+
+def add_breeding_values(G_full: np.ndarray, u_hat: np.ndarray,
+                        indicator_idv: np.ndarray) -> np.ndarray:
+    """u_test = K_fo K_oo^+ u_hat with K centered by the training
+    indicator (AddBV, prdt.cpp:133-205)."""
+    w = indicator_idv.astype(np.float64)
+    Gw = G_full @ w
+    wtw = w @ w
+    d = w @ Gw
+    G = (G_full - np.outer(Gw, w) / wtw - np.outer(w, Gw) / wtw
+         + d / (wtw * wtw) * np.outer(w, w))
+
+    train = indicator_idv
+    test = ~indicator_idv
+    Goo = G[np.ix_(train, train)]
+    Gfo = G[np.ix_(test, train)]
+
+    eval_, U = np.linalg.eigh(Goo)
+    eval_ = np.where(eval_ < EIGEN_MINVALUE, 0.0, eval_)
+    Utu = U.T @ u_hat
+    Utu = np.where(eval_ != 0, Utu / np.where(eval_ != 0, eval_, 1.0), Utu)
+    return Gfo @ (U @ Utu)
+
+
+def probit_transform(y: np.ndarray) -> np.ndarray:
+    return np.asarray(normal_cdf(jnp.asarray(y), 1.0))

@@ -400,6 +400,94 @@ def run_vc(cfg: GemmaConfig, log: RunLog | None = None):
 
 
 # ---------------------------------------------------------------------------
+# -predict (modes 41/42)
+
+def run_predict(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
+    from gemma_tpu.models.predict import (
+        read_est, predict_effects, add_breeding_values, probit_transform)
+    from gemma_tpu.io.readers import read_gxe as _read_col
+
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg, need_qc=False)
+
+    test = ~ds.indicator_idv
+    y_prdt = np.zeros(int(test.sum()))
+
+    if cfg.file_kin and cfg.file_ebv:
+        bv, ind_bv = _read_col(cfg.file_ebv)
+        u_hat = bv[ind_bv]
+        # kinship over ALL individuals (indicator_all, gemma.cpp:1680-1692)
+        G = read_kinship(cfg.file_kin,
+                         np.ones(ds.ni_total, dtype=bool), ids=ds.ids,
+                         k_mode=cfg.k_mode)
+        y_prdt += add_breeding_values(G, u_hat, ds.indicator_idv)
+
+    if cfg.file_epm:
+        est_cols = (2, 5, 6, 7) if not cfg.file_ebv else (2, 0, 6, 7)
+        effects = read_est(cfg.file_epm, est_cols)
+        y_add, ns_used = predict_effects(ds.geno.X, list(ds.geno.snps.rs),
+                                         ds.indicator_idv, effects)
+        y_prdt += y_add
+        log.summary["number of analyzed SNPs/var"] = ns_used
+
+    y_prdt += cfg.pheno_mean
+    if cfg.a_mode == 42:
+        y_prdt = probit_transform(y_prdt)
+
+    ensure_outdir(cfg.path_out)
+    with open(f"{cfg.out_prefix()}.prdt.txt", "w") as fh:
+        ci = 0
+        for i in range(ds.ni_total):
+            if ds.indicator_idv[i]:
+                fh.write("NA\n")
+            else:
+                fh.write(f"{y_prdt[ci]:.6g}\n")
+                ci += 1
+
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return y_prdt
+
+
+# ---------------------------------------------------------------------------
+# -calccor (mode 71)
+
+def run_calccor(cfg: GemmaConfig, log: RunLog | None = None):
+    from gemma_tpu.models.varcov import (
+        calc_neighbours, windowed_correlations, write_cor)
+
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+
+    window_bp = cfg.window_bp
+    if cfg.window_cm == 0 and cfg.window_bp == 0 and cfg.window_ns == 0:
+        window_bp = 1e6  # param.cpp:629-631
+
+    idx = np.flatnonzero(ds.qc.indicator_snp)
+    chr_ = [ds.geno.snps.chr[i] for i in idx]
+    pos = ds.geno.snps.pos[idx]
+    cM = ds.geno.snps.cM[idx]
+    n_nb = calc_neighbours(chr_, pos, cM, window_bp, cfg.window_cm,
+                           cfg.window_ns)
+
+    X = ds.geno.X[idx][:, ds.indicator_idv]
+    var, cors = windowed_correlations(X, n_nb)
+
+    rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
+    for r, i in zip(rows, idx):
+        r["n_obs"] = int(ds.qc.n_idv[i])
+    ensure_outdir(cfg.path_out)
+    write_cor(f"{cfg.out_prefix()}.cor.txt", rows, n_nb, var, cors)
+
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of total SNPs/var"] = ds.geno.n_snps
+    log.summary["number of analyzed SNPs/var"] = len(idx)
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+
+
+# ---------------------------------------------------------------------------
 
 def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     """Mode dispatch (GEMMA::BatchRun, gemma.cpp:1641)."""
@@ -417,6 +505,10 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
         run_lm(cfg, log)
     elif cfg.a_mode in (61, 62, 63):
         run_vc(cfg, log)
+    elif cfg.a_mode in (41, 42):
+        run_predict(cfg, log)
+    elif cfg.a_mode == 71:
+        run_calccor(cfg, log)
     else:
         raise NotImplementedError(f"analysis mode {cfg.a_mode} not yet "
                                   "implemented")
