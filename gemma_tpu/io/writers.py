@@ -132,6 +132,51 @@ def write_mvlmm_assoc(path: str, mode: int, n_ph: int, snp_rows: list,
             fh.write("\t".join(_fmt_sci6(float(v)) for v in vals) + "\n")
 
 
+# ---------------------------------------------------------------------------
+# BSLMM outputs (bslmm.cpp:116-309)
+
+def write_bslmm_hyp(path: str, hyp: np.ndarray) -> None:
+    """prefix.hyp.txt: h pve rho pge pi n_gamma per recorded state."""
+    with open(path, "w") as fh:
+        fh.write("h \t pve \t rho \t pge \t pi \t n_gamma\n")
+        for row in hyp:
+            fh.write(f"{row[0]:.6e}\t{row[1]:.6e}\t{row[2]:.6e}\t"
+                     f"{row[3]:.6e}\t{np.exp(row[4]):.6e}\t{int(row[5])}\t\n")
+
+
+def write_bslmm_gamma(path: str, gamma: np.ndarray, s_max: int) -> None:
+    """prefix.gamma.txt: per recorded state, 1-based positions of the
+    active SNPs (0-padded to s_max)."""
+    with open(path, "w") as fh:
+        fh.write("".join(f"s{i}\t" for i in range(s_max)) + "\n")
+        for row in gamma:
+            fh.write("".join(f"{int(v)}\t" for v in row) + "\n")
+
+
+def write_bslmm_param(path: str, snp_rows: list, alpha: np.ndarray,
+                      beta_mean: np.ndarray, gamma_freq: np.ndarray) -> None:
+    """prefix.param.txt: per-SNP posterior alpha/beta/gamma."""
+    with open(path, "w") as fh:
+        fh.write("chr\trs\tps\tn_miss\talpha\tbeta\tgamma\n")
+        for t, s in enumerate(snp_rows):
+            fh.write(f"{s['chr']}\t{s['rs']}\t{s['ps']}\t{s['n_miss']}\t")
+            fh.write(f"{alpha[t]:.6e}\t{beta_mean[t]:.6e}\t"
+                     f"{gamma_freq[t]:.6e}\n")
+
+
+def write_bslmm_bv(path: str, bv: np.ndarray,
+                   indicator_idv: np.ndarray) -> None:
+    """prefix.bv.txt: breeding values, NA for excluded individuals."""
+    with open(path, "w") as fh:
+        t = 0
+        for ind in indicator_idv:
+            if not ind:
+                fh.write("NA\n")
+            else:
+                fh.write(f"{bv[t]:.6e}\n")
+                t += 1
+
+
 def snp_rows_from_table(snps, qc, order: np.ndarray) -> list:
     """Build writer rows for the analyzed SNPs in output order."""
     rows = []

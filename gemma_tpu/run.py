@@ -400,6 +400,187 @@ def run_vc(cfg: GemmaConfig, log: RunLog | None = None):
 
 
 # ---------------------------------------------------------------------------
+# -bslmm (modes 11/12)
+
+def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
+    import scipy.stats
+    from gemma_tpu.models.bslmm import (
+        BslmmSettings, run_mcmc, ridge_gblup, calc_p_gamma)
+    from gemma_tpu.models.lmm import (
+        fit_null, build_batch_data, calc_lambda)
+    from gemma_tpu.io.writers import (
+        write_bslmm_hyp, write_bslmm_gamma, write_bslmm_param,
+        write_bslmm_bv)
+
+    dtype = _resolve_dtype(cfg)
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+    if cfg.a_mode == 13:
+        raise NotImplementedError("-bslmm 3 (probit) not yet implemented")
+
+    idx = np.flatnonzero(ds.qc.indicator_snp)
+    ns_test = len(idx)
+    ni_test = ds.ni_test
+
+    # centered, mean-imputed genotypes over analyzed individuals
+    # (ReadGenotypes second pass, gemma_io.cpp:1742-1838)
+    Xr = impute_mean(ds.geno.X[idx][:, ds.indicator_idv])
+    Xc = Xr - Xr.mean(axis=1, keepdims=True)
+
+    y = ds.Y[:, 0].copy()
+    pheno_mean = float(y.mean())
+    y = y - pheno_mean
+
+    # kinship: from file (-k) or centered X'X/ns (gemma.cpp:2906-2922)
+    if cfg.file_kin:
+        K = read_kinship(cfg.file_kin, ds.indicator_idv, ids=ds.ids,
+                         k_mode=cfg.k_mode)
+        K = np.asarray(center_matrix(jnp.asarray(K)))
+    else:
+        Kd = jax.lax.dot_general(jnp.asarray(Xc), jnp.asarray(Xc),
+                                 (((0,), (0,)), ((), ())))
+        K = np.asarray(Kd) / ns_test
+
+    with log.timer.phase("eigen"):
+        eval_, U, trace_G = eigh_zeroed(jnp.asarray(K, dtype=dtype))
+        eval_.block_until_ready()
+
+    Ud = jnp.asarray(U, dtype=dtype)
+    yd = jnp.asarray(y, dtype=dtype)
+    W1 = jnp.ones((ni_test, 1), dtype=dtype)
+    UtW = Ud.T @ W1
+    Uty = Ud.T @ yd
+
+    nf = fit_null(eval_, UtW, Uty, trace_G, 1,
+                  l_min=cfg.l_min, l_max=cfg.l_max, n_region=cfg.n_region)
+    log.null_model = dict(
+        logl_remle_H0=float(nf.logl_remle), logl_mle_H0=float(nf.logl_mle),
+        pve_null=float(nf.pve), pve_se_null=float(nf.pve_se),
+        vg_remle_null=float(nf.vg_remle), ve_remle_null=float(nf.ve_remle),
+        beta_remle_null=np.asarray(nf.beta_remle).tolist(),
+        se_beta_remle_null=np.asarray(nf.se_beta_remle).tolist())
+
+    with log.timer.phase("utx"):
+        UtX = (jnp.asarray(Xc, dtype=dtype) @ Ud).T   # (n, p)
+        UtX.block_until_ready()
+
+    ensure_outdir(cfg.path_out)
+    rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
+
+    if cfg.a_mode == 12:   # ridge / GBLUP
+        alpha, u_rot = ridge_gblup(UtX, Uty, eval_, nf.l_remle)
+        bv = np.asarray(Ud @ u_rot)
+        write_bslmm_param(f"{cfg.out_prefix()}.param.txt", rows,
+                          np.asarray(alpha), np.zeros(ns_test),
+                          np.zeros(ns_test))
+        write_bslmm_bv(f"{cfg.out_prefix()}.bv.txt", bv, ds.indicator_idv)
+        log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+        return None
+
+    # per-SNP ML logLR ranking for the proposal (MatrixCalcLR,
+    # lmm.cpp:1905-1943) — batched over all SNPs at once
+    with log.timer.phase("proposal"):
+        data0 = build_batch_data(eval_, UtW, Uty,
+                                 jnp.zeros((1, ni_test), dtype), 1)
+        null_ml = calc_lambda(data0, 1, calc_null=True, reml=False,
+                              l_min=cfg.l_min, l_max=cfg.l_max,
+                              n_region=cfg.n_region)
+        logl_H0 = float(null_ml.logf[0])
+        loglr = np.zeros(ns_test)
+        B = cfg.block_size
+        for s in range(0, ns_test, B):
+            blk = np.asarray(UtX.T[s:s + B])
+            k = blk.shape[0]
+            data = build_batch_data(eval_, UtW, Uty,
+                                    jnp.asarray(_pad_block(blk, B, 0.0)), 1)
+            res = calc_lambda(data, 1, calc_null=False, reml=False,
+                              l_min=cfg.l_min, l_max=cfg.l_max,
+                              n_region=cfg.n_region)
+            loglr[s:s + k] = np.asarray(res.logf)[:k] - logl_H0
+
+    order = np.argsort(-loglr, kind="stable")   # rank → original column
+    UtX_sorted = UtX[:, order]
+
+    st = BslmmSettings(
+        ns_test=ns_test, ni_test=ni_test, s_min=cfg.s_min, s_max=cfg.s_max,
+        h_min=cfg.h_min, h_max=cfg.h_max, rho_min=cfg.rho_min,
+        rho_max=cfg.rho_max, logp_min=cfg.logp_min, logp_max=cfg.logp_max,
+        geo_mean=cfg.geo_mean, w_step=cfg.w_step, s_step=cfg.s_step,
+        r_pace=cfg.r_pace, w_pace=cfg.w_pace, a_mode=cfg.a_mode)
+
+    # initial values (InitialMCMC, bslmm.cpp:367-448)
+    q_genome = scipy.stats.chi2.isf(0.05 / ns_test, 1)
+    n_gamma0 = int(np.sum(2.0 * loglr > q_genome))
+    n_gamma0 = max(n_gamma0, 10)
+    n_gamma0 = min(max(n_gamma0, st.s_min), st.s_max)
+    logp0 = float(np.log(n_gamma0 / ns_test))
+    if logp0 == 0:
+        logp0 = -1e-6
+    h0 = float(nf.pve) if float(nf.pve) != 0 else 0.1
+    sigma_a2 = (h0 / (float(trace_G) * (1 - h0) * np.exp(logp0) * ns_test)
+                if float(trace_G) != 0
+                else h0 / ((1 - h0) * np.exp(logp0) * ns_test)) or 0.025
+    Xg0 = UtX_sorted[:, :n_gamma0]
+    Om = Xg0.T @ Xg0 + jnp.eye(n_gamma0, dtype=dtype) / sigma_a2
+    Xty0 = Xg0.T @ Uty
+    pve_lm = float(Xty0 @ jnp.linalg.solve(Om, Xty0) / (Uty @ Uty))
+    rho0 = min(pve_lm / h0, 1.0)
+    h0 = min(max(h0, st.h_min), st.h_max)
+    rho0 = min(max(rho0, st.rho_min), st.rho_max)
+    logp0 = min(max(logp0, st.logp_min), st.logp_max)
+
+    log.extra.append("MCMC related:")
+    log.extra.append(f"initial value of h = {h0:.6g}")
+    log.extra.append(f"initial value of rho = {rho0:.6g}")
+    log.extra.append(f"initial value of pi = {np.exp(logp0):.6g}")
+    log.extra.append(f"initial value of |gamma| = {n_gamma0}")
+
+    with log.timer.phase("opt"):
+        final = run_mcmc(UtX_sorted, Uty, eval_, jnp.asarray(trace_G, dtype),
+                         st, h0, rho0, logp0, n_gamma0,
+                         seed=cfg.seed if cfg.seed >= 0 else 0)
+        final.rec_hyp.block_until_ready()
+
+    w = int(final.w)
+    hyp = np.asarray(final.rec_hyp)[:w]
+    gamma_ranks = np.asarray(final.rec_gamma)[:w]
+    # gamma.txt stores 1-based positions among analyzed SNPs
+    gamma_pos = np.where(gamma_ranks > 0, order[gamma_ranks - 1] + 1, 0)
+
+    write_bslmm_hyp(f"{cfg.out_prefix()}.hyp.txt", hyp)
+    write_bslmm_gamma(f"{cfg.out_prefix()}.gamma.txt", gamma_pos, st.s_max)
+
+    # posterior means (bslmm.cpp:1170-1183)
+    alpha_rot = np.asarray(final.acc_alpha) / w
+    alpha = np.asarray(UtX.T @ jnp.asarray(alpha_rot, dtype)) / ns_test
+    beta_sum = np.asarray(final.acc_beta)     # indexed by rank
+    beta_cnt = np.asarray(final.acc_betacnt)
+    beta_mean_rank = np.where(beta_cnt > 0, beta_sum / np.maximum(beta_cnt, 1),
+                              0.0)
+    gamma_freq_rank = beta_cnt / w
+    beta_mean = np.zeros(ns_test)
+    gamma_freq = np.zeros(ns_test)
+    beta_mean[order] = beta_mean_rank
+    gamma_freq[order] = gamma_freq_rank
+
+    write_bslmm_param(f"{cfg.out_prefix()}.param.txt", rows, alpha,
+                      beta_mean, gamma_freq)
+    bv = np.asarray(Ud @ (jnp.asarray(final.acc_Utu) / w))
+    write_bslmm_bv(f"{cfg.out_prefix()}.bv.txt", bv, ds.indicator_idv)
+
+    n_accept = int(final.n_accept)
+    total_mh = (st.w_step + st.s_step) * st.n_mh
+    log.extra.append(f"random seed = {cfg.seed}")
+    log.extra.append(f"acceptance ratio = {n_accept / total_mh:.6g}")
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of total SNPs/var"] = ds.geno.n_snps
+    log.summary["number of analyzed SNPs/var"] = ns_test
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return final
+
+
+# ---------------------------------------------------------------------------
 # -predict (modes 41/42)
 
 def run_predict(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
@@ -505,6 +686,8 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
         run_lm(cfg, log)
     elif cfg.a_mode in (61, 62, 63):
         run_vc(cfg, log)
+    elif cfg.a_mode in (11, 12, 13):
+        run_bslmm(cfg, log)
     elif cfg.a_mode in (41, 42):
         run_predict(cfg, log)
     elif cfg.a_mode == 71:
