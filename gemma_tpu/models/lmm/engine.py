@@ -172,6 +172,64 @@ assoc_block = jax.jit(
     static_argnames=("n_cvt", "mode", "l_min", "l_max", "n_region"))
 
 
+def assoc_gxe_block_impl(eval_, UtW, Ut_env, Uty, Utx_block, Utxe_block,
+                         l_mle_null, logl_mle_H0, n_cvt: int, mode: int,
+                         l_min: float = 1e-5, l_max: float = 1e5,
+                         n_region: int = 10) -> AssocStats:
+    """GxE association (AnalyzeBimbamGXE, lmm.cpp:2283-2431).
+
+    Per SNP the covariates expand to [W, env, x] (n_cvt+2) and the
+    tested predictor is the interaction x*env; for the LRT the null
+    model is re-fit per SNP (it contains x).  Each lane carries its own
+    covariate matrix, so the block vmaps the single-SNP pipeline — the
+    internal convergence masks keep lanes independent under vmap.
+    """
+    nc2 = n_cvt + 2
+    dtype = eval_.dtype
+
+    def one(utx, utxe):
+        UtWe = jnp.concatenate([UtW, Ut_env[:, None], utx[:, None]], axis=1)
+        data = lk.build_batch_data(eval_, UtWe, Uty, utxe[None, :], nc2)
+
+        logl_H0 = jnp.zeros((), dtype)
+        if mode in (2, 4):
+            null = calc_lambda(data, nc2, calc_null=True, reml=False,
+                               l_min=l_min, l_max=l_max, n_region=n_region)
+            logl_H0 = null.logf[0]
+
+        beta = se = lam_r = lam_m = p_w = p_l = p_s = logl_H1 = \
+            jnp.zeros((), dtype)
+        if mode in (3, 4, 9):
+            b_s, se_s, f_s, df = lk.score_stats(
+                jnp.full((1,), l_mle_null, dtype), data, nc2)
+            beta, se = b_s[0], se_s[0]
+            p_s = f_sf(f_s, 1.0, df)[0]
+        if mode in (1, 4):
+            remle = calc_lambda(data, nc2, calc_null=False, reml=True,
+                                l_min=l_min, l_max=l_max, n_region=n_region)
+            lam_r = remle.lam[0]
+            logl_H1 = remle.logf[0]
+            b_w, se_w, f_w, df = lk.wald_stats(remle.lam, data, nc2)
+            beta, se = b_w[0], se_w[0]
+            p_w = f_sf(f_w, 1.0, df)[0]
+        if mode in (2, 4, 9):
+            mle = calc_lambda(data, nc2, calc_null=False, reml=False,
+                              l_min=l_min, l_max=l_max, n_region=n_region)
+            lam_m = mle.lam[0]
+            logl_H1 = mle.logf[0]
+            p_l = chisq_sf(2.0 * (mle.logf[0] - logl_H0), 1.0)
+        return AssocStats(beta=beta, se=se, lambda_remle=lam_r,
+                          lambda_mle=lam_m, p_wald=p_w, p_lrt=p_l,
+                          p_score=p_s, logl_H1=logl_H1)
+
+    return jax.vmap(one)(Utx_block, Utxe_block)
+
+
+assoc_gxe_block = jax.jit(
+    assoc_gxe_block_impl,
+    static_argnames=("n_cvt", "mode", "l_min", "l_max", "n_region"))
+
+
 def impute_mean(x_raw: np.ndarray) -> np.ndarray:
     """Mean-impute missing genotypes per SNP row (lmm.cpp:1589-1618).
 

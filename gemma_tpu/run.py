@@ -193,17 +193,45 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
     X_test = ds.geno.X[:, ds.indicator_idv]
     mode = cfg.a_mode if cfg.a_mode != 5 else 1
+    is_gxe = ds.gxe is not None
+    if is_gxe:
+        from gemma_tpu.models.lmm.engine import assoc_gxe_block
+        env = jnp.asarray(ds.gxe, dtype=dtype)
+        Ut_env = U.T @ env
+        gxe_block = max(min(cfg.block_size, 256), 1)
     with log.timer.phase("opt"):
-        for s in range(0, len(idx), cfg.block_size):
-            sel = idx[s:s + cfg.block_size]
+        bs = gxe_block if is_gxe else cfg.block_size
+        for s in range(0, len(idx), bs):
+            sel = idx[s:s + bs]
             raw = impute_mean(X_test[sel])
-            block = _pad_block(raw.astype(np.float64), cfg.block_size, 0.0)
-            Utx = jnp.asarray(block, dtype=dtype) @ U
-            st = assoc_block(eval_, UtW, Uty, Utx, nf.l_mle, nf.logl_mle,
-                             n_cvt=n_cvt, mode=mode,
-                             l_min=cfg.l_min, l_max=cfg.l_max,
-                             n_region=cfg.n_region)
             k = len(sel)
+            if is_gxe:
+                # GXE: flip to minor-allele coding when mean > 1
+                # (lmm.cpp:2362-2370), beta sign restored after
+                x_mean = raw.mean(axis=1)
+                flip = x_mean > 1.0
+                raw = np.where(flip[:, None], 2.0 - raw, raw)
+                block = _pad_block(raw.astype(np.float64), bs, 0.0)
+                xd = jnp.asarray(block, dtype=dtype)
+                Utx = xd @ U
+                Utxe = (xd * env[None, :]) @ U
+                st = assoc_gxe_block(eval_, UtW, Ut_env, Uty, Utx, Utxe,
+                                     nf.l_mle, nf.logl_mle,
+                                     n_cvt=n_cvt, mode=mode,
+                                     l_min=cfg.l_min, l_max=cfg.l_max,
+                                     n_region=cfg.n_region)
+                st = st._replace(beta=jnp.where(
+                    jnp.asarray(np.concatenate(
+                        [flip, np.zeros(bs - k, bool)])),
+                    -st.beta, st.beta))
+            else:
+                block = _pad_block(raw.astype(np.float64), cfg.block_size,
+                                   0.0)
+                Utx = jnp.asarray(block, dtype=dtype) @ U
+                st = assoc_block(eval_, UtW, Uty, Utx, nf.l_mle,
+                                 nf.logl_mle, n_cvt=n_cvt, mode=mode,
+                                 l_min=cfg.l_min, l_max=cfg.l_max,
+                                 n_region=cfg.n_region)
             for name in stats:
                 stats[name].append(np.asarray(getattr(st, name))[:k])
     stats = {k: np.concatenate(v) if v else np.zeros(0)

@@ -65,11 +65,19 @@ def test_mvlmm_d1_matches_univariate_null(tmp_path):
                     reason="issue243 data not available")
 def test_mvlmm_two_traits_end_to_end(tmp_path):
     out = str(tmp_path)
+    # bound runtime: analyze the first 2000 SNPs only
+    snps = str(tmp_path / "subset.txt")
+    with open(ISSUE243 + ".bim") as fh, open(snps, "w") as sub:
+        for i, line in enumerate(fh):
+            if i >= 2000:
+                break
+            sub.write(line.split()[1] + "\n")
     batch_run(parse_args(
         f"-bfile {ISSUE243} -gk 1 -o K -outdir {out} "
         f"-precision float64".split()))
     cfg = parse_args(
         f"-bfile {ISSUE243} -k {out}/K.cXX.txt -lmm 1 -n 1 2 "
+        f"-snps {snps} "
         f"-o mv -outdir {out} -precision float64 -no-check".split())
     res = run_mvlmm(cfg)
 
