@@ -89,6 +89,8 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.file_beta = take()
         elif a == "-cor":
             cfg.file_cor = take()
+        elif a == "-gene":
+            cfg.file_gene = take()
         elif a == "-n":
             cfg.p_columns = tuple(int(v) for v in take_multi()) or (1,)
         elif a == "-km":

@@ -32,6 +32,8 @@ class Dataset:
     W: np.ndarray                 # (ni_test, n_cvt) covariates incl. intercept
     Y: np.ndarray                 # (ni_test, n_ph)
     qc: QcResult | None
+    indicator_cvt: np.ndarray | None = None  # (ni_total,) bool
+    cvt_all: np.ndarray | None = None        # (ni_total, n_cvt) normalized
     ids: list | None = None
     gxe: np.ndarray | None = None     # (ni_test,)
     weights: np.ndarray | None = None # (ni_test,)
@@ -118,6 +120,7 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
     indicator_idv = ~np.isnan(pheno).any(axis=1)
 
     cvt = None
+    ind_cvt = np.ones(ni_total, dtype=bool)
     if cfg.file_cvt:
         cvt, ind_cvt = read_covariates(cfg.file_cvt)
         indicator_idv &= ind_cvt
@@ -140,8 +143,10 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
     if cvt is not None:
         cvt = _normalize_covariates(cvt, indicator_idv)
         W = cvt[indicator_idv]
+        cvt_all = cvt
     else:
-        W = np.ones((int(indicator_idv.sum()), 1))
+        cvt_all = np.ones((ni_total, 1))
+        W = cvt_all[indicator_idv]
 
     Y = pheno[indicator_idv]
     gxe = gxe_all[indicator_idv] if gxe_all is not None else None
@@ -181,6 +186,7 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
         geno.snps.n_idv = qc.n_idv
 
     return Dataset(geno=geno, pheno=pheno, indicator_idv=indicator_idv,
-                   W=W, Y=Y, qc=qc, ids=ids, gxe=gxe, weights=weights,
+                   W=W, Y=Y, qc=qc, indicator_cvt=ind_cvt, cvt_all=cvt_all,
+                   ids=ids, gxe=gxe, weights=weights,
                    is_plink=is_plink, snp_set=snp_set, ksnps=ksnps,
                    gwasnps=gwasnps)

@@ -157,6 +157,21 @@ def read_kinship(path: str, indicator_idv: np.ndarray,
     return G
 
 
+def read_gene_expression(path: str):
+    """-gene: header line, then `geneID v_1 ... v_n` per gene
+    (AnalyzeGene, lmm.cpp:1396-1417).  Returns (ids, (ng, n) matrix)."""
+    ids, rows = [], []
+    with _open_text(path) as fh:
+        next(fh)  # header
+        for line in fh:
+            parts = _tokens(line)
+            if not parts:
+                continue
+            ids.append(parts[0])
+            rows.append([float(v) for v in parts[1:]])
+    return ids, np.asarray(rows, dtype=np.float64)
+
+
 def read_multi_kinship(path: str, indicator_idv: np.ndarray,
                        ids: list | None = None,
                        k_mode: int = 1) -> np.ndarray:

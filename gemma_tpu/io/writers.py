@@ -132,6 +132,19 @@ def write_mvlmm_assoc(path: str, mode: int, n_ph: int, snp_rows: list,
             fh.write("\t".join(_fmt_sci6(float(v)) for v in vals) + "\n")
 
 
+def write_lmm_gene_assoc(path: str, mode: int, gene_ids: list,
+                         stats: dict) -> None:
+    """Gene-expression assoc.txt variant (lmm.cpp:182-190)."""
+    cols = _lmm_stat_columns(mode)
+    with open(path, "w") as fh:
+        fh.write("geneID\t")
+        fh.write("\t".join(cols) + "\n")
+        for i, gid in enumerate(gene_ids):
+            fh.write(f"{gid}\t")
+            fh.write("\t".join(_fmt_sci6(float(stats[c][i])) for c in cols))
+            fh.write("\n")
+
+
 # ---------------------------------------------------------------------------
 # BSLMM outputs (bslmm.cpp:116-309)
 

@@ -230,6 +230,65 @@ assoc_gxe_block = jax.jit(
     static_argnames=("n_cvt", "mode", "l_min", "l_max", "n_region"))
 
 
+def assoc_gene_block_impl(eval_, UtW, Utx, Uty_block, n_cvt: int, mode: int,
+                          l_min: float = 1e-5, l_max: float = 1e5,
+                          n_region: int = 10) -> AssocStats:
+    """Gene-expression association (AnalyzeGene, lmm.cpp:1365-1471).
+
+    Roles are swapped: each gene's (rotated) expression vector is the
+    response, the phenotype Utx is the fixed predictor.  The per-gene
+    "null" replicates GEMMA's quirk of a calc_null=False fit with the
+    x columns zeroed (equivalent to the true null through the ps_ww==0
+    recurrence guard); the score test evaluates at that per-gene MLE.
+    """
+    dtype = eval_.dtype
+    n = eval_.shape[0]
+    zero_x = jnp.zeros((1, n), dtype)
+
+    def one(uty):
+        data0 = lk.build_batch_data(eval_, UtW, uty, zero_x, n_cvt)
+        l_H0 = jnp.zeros((), dtype)
+        logl_H0 = jnp.zeros((), dtype)
+        if mode in (2, 3, 4, 9):
+            null = calc_lambda(data0, n_cvt, calc_null=False, reml=False,
+                               l_min=l_min, l_max=l_max, n_region=n_region)
+            l_H0 = null.lam[0]
+            logl_H0 = null.logf[0]
+
+        data = lk.build_batch_data(eval_, UtW, uty, Utx[None, :], n_cvt)
+        beta = se = lam_r = lam_m = p_w = p_l = p_s = logl_H1 = \
+            jnp.zeros((), dtype)
+        if mode in (3, 4, 9):
+            b_s, se_s, f_s, df = lk.score_stats(
+                jnp.full((1,), l_H0, dtype), data, n_cvt)
+            beta, se = b_s[0], se_s[0]
+            p_s = f_sf(f_s, 1.0, df)[0]
+        if mode in (1, 4):
+            remle = calc_lambda(data, n_cvt, calc_null=False, reml=True,
+                                l_min=l_min, l_max=l_max, n_region=n_region)
+            lam_r = remle.lam[0]
+            logl_H1 = remle.logf[0]
+            b_w, se_w, f_w, df = lk.wald_stats(remle.lam, data, n_cvt)
+            beta, se = b_w[0], se_w[0]
+            p_w = f_sf(f_w, 1.0, df)[0]
+        if mode in (2, 4, 9):
+            mle = calc_lambda(data, n_cvt, calc_null=False, reml=False,
+                              l_min=l_min, l_max=l_max, n_region=n_region)
+            lam_m = mle.lam[0]
+            logl_H1 = mle.logf[0]
+            p_l = chisq_sf(2.0 * (mle.logf[0] - logl_H0), 1.0)
+        return AssocStats(beta=beta, se=se, lambda_remle=lam_r,
+                          lambda_mle=lam_m, p_wald=p_w, p_lrt=p_l,
+                          p_score=p_s, logl_H1=logl_H1)
+
+    return jax.vmap(one)(Uty_block)
+
+
+assoc_gene_block = jax.jit(
+    assoc_gene_block_impl,
+    static_argnames=("n_cvt", "mode", "l_min", "l_max", "n_region"))
+
+
 def impute_mean(x_raw: np.ndarray) -> np.ndarray:
     """Mean-impute missing genotypes per SNP row (lmm.cpp:1589-1618).
 

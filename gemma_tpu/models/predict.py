@@ -103,3 +103,34 @@ def add_breeding_values(G_full: np.ndarray, u_hat: np.ndarray,
 
 def probit_transform(y: np.ndarray) -> np.ndarray:
     return np.asarray(normal_cdf(jnp.asarray(y), 1.0))
+
+
+def mvnorm_predict(Y_full: np.ndarray, Y_hat: np.ndarray,
+                   G_full: np.ndarray, Vg: np.ndarray,
+                   Ve: np.ndarray) -> np.ndarray:
+    """Conditional-MVN imputation of missing phenotypes (mode 43).
+
+    Y_full: (m, d) phenotypes over covariate-valid individuals, NaN
+    missing; Y_hat: fixed-effect predictions; H = Vg ⊗_sym G + I ⊗ Ve
+    in (individual, phenotype) flattening.  y_miss = yhat_miss +
+    H_mo H_oo^{-1} (y_obs - yhat_obs)  (MvnormPrdt, prdt.cpp:448-553).
+    """
+    m, d = Y_full.shape
+    obs = ~np.isnan(Y_full).reshape(-1)            # flat (m*d,)
+
+    if d == 1:
+        H = float(Vg) * G_full + float(Ve) * np.eye(m)
+    else:
+        H = np.kron(G_full, np.asarray(Vg)) + np.kron(np.eye(m),
+                                                      np.asarray(Ve))
+
+    yh = Y_hat.reshape(-1)
+    yf = Y_full.reshape(-1)
+    resid = yf[obs] - yh[obs]
+    H_oo = H[np.ix_(obs, obs)]
+    H_mo = H[np.ix_(~obs, obs)]
+    y_miss = yh[~obs] + H_mo @ np.linalg.solve(H_oo, resid)
+
+    out = Y_full.copy().reshape(-1)
+    out[~obs] = y_miss
+    return out.reshape(m, d)

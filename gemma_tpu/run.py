@@ -177,6 +177,51 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         se_beta_remle_null=np.asarray(nf.se_beta_remle).tolist(),
     )
 
+    # gene-expression mode: each gene's expression is the response and
+    # the phenotype is the predictor (gemma.cpp:2675-2692)
+    if cfg.file_gene:
+        from gemma_tpu.io.readers import read_gene_expression
+        from gemma_tpu.io.writers import write_lmm_gene_assoc
+        from gemma_tpu.models.lmm.engine import assoc_gene_block
+
+        gene_ids, expr = read_gene_expression(cfg.file_gene)
+        expr_test = expr[:, ds.indicator_idv]
+        names = ("beta", "se", "lambda_remle", "lambda_mle",
+                 "p_wald", "p_lrt", "p_score", "logl_H1")
+        gstats = {k: [] for k in names}
+        gb = max(min(cfg.block_size, 256), 1)
+        with log.timer.phase("opt"):
+            for s in range(0, len(gene_ids), gb):
+                blk = expr_test[s:s + gb]
+                k = blk.shape[0]
+                padded = _pad_block(blk.astype(np.float64), gb, 0.0)
+                Uty_blk = jnp.asarray(padded, dtype=dtype) @ U
+                # the rotated phenotype Uty is the PREDICTOR here
+                st = assoc_gene_block(eval_, UtW, Uty, Uty_blk,
+                                      n_cvt=n_cvt, mode=cfg.a_mode,
+                                      l_min=cfg.l_min, l_max=cfg.l_max,
+                                      n_region=cfg.n_region)
+                for name in names:
+                    gstats[name].append(np.asarray(getattr(st, name))[:k])
+        gstats = {k: np.concatenate(v) for k, v in gstats.items()}
+        out_stats = dict(beta=gstats["beta"], se=gstats["se"],
+                         logl_H1=gstats["logl_H1"],
+                         l_remle=gstats["lambda_remle"],
+                         l_mle=gstats["lambda_mle"],
+                         p_wald=gstats["p_wald"], p_lrt=gstats["p_lrt"],
+                         p_score=gstats["p_score"])
+        ensure_outdir(cfg.path_out)
+        write_lmm_gene_assoc(f"{cfg.out_prefix()}.assoc.txt", cfg.a_mode,
+                             gene_ids, out_stats)
+        log.summary["number of total individuals"] = ds.ni_total
+        log.summary["number of analyzed individuals"] = ds.ni_test
+        log.summary["number of covariates"] = n_cvt
+        log.summary["number of phenotypes"] = cfg.n_ph
+        log.summary["number of total genes"] = len(gene_ids)
+        log.summary["number of analyzed genes"] = len(gene_ids)
+        log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+        return dict(stats=out_stats, gene_ids=gene_ids, dataset=ds)
+
     # residual decomposition for -lmm 5 (gemma.cpp:2756-2788)
     if cfg.a_mode == 5:
         y_hat = Uty - UtW @ nf.beta_remle
@@ -659,6 +704,73 @@ def run_predict(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     return y_prdt
 
 
+def run_predict43(cfg: GemmaConfig, log: RunLog | None = None):
+    """-predict 3: conditional-MVN phenotype imputation from the
+    kinship matrix and a null (mv)LMM fit (gemma.cpp:1732-1897)."""
+    from gemma_tpu.models.predict import mvnorm_predict
+    from gemma_tpu.models.lmm import fit_null
+
+    dtype = _resolve_dtype(cfg)
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg, need_geno=False)
+    d = cfg.n_ph
+
+    # analyzed = full phenotypes; "full" set = covariate-valid rows
+    ind_cvt = ds.indicator_cvt
+    Y_full = ds.pheno[ind_cvt]                      # NaN = to predict
+    W_full = ds.cvt_all[ind_cvt]
+
+    G = read_kinship(cfg.file_kin, ds.indicator_idv, ids=ds.ids,
+                     k_mode=cfg.k_mode)
+    G_full = read_kinship(cfg.file_kin, ind_cvt, ids=ds.ids,
+                          k_mode=cfg.k_mode)
+    G = np.asarray(center_matrix(jnp.asarray(G)))
+    G_full = np.asarray(center_matrix(jnp.asarray(G_full)))
+
+    with log.timer.phase("eigen"):
+        eval_, U, trace_G = eigh_zeroed(jnp.asarray(G, dtype=dtype))
+        eval_.block_until_ready()
+    W = jnp.asarray(ds.W, dtype=dtype)
+    UtW = U.T @ W
+
+    if d == 1:
+        Uty = U.T @ jnp.asarray(ds.Y[:, 0], dtype=dtype)
+        nf = fit_null(eval_, UtW, Uty, trace_G, ds.n_cvt,
+                      l_min=cfg.l_min, l_max=cfg.l_max,
+                      n_region=cfg.n_region)
+        vg, ve = float(nf.vg_remle), float(nf.ve_remle)
+        beta = np.asarray(nf.beta_remle)
+        Y_hat = (W_full @ beta)[:, None]
+        out = mvnorm_predict(Y_full, Y_hat, G_full,
+                             np.asarray(vg), np.asarray(ve))
+        log.null_model = dict(vg_remle_null=vg, ve_remle_null=ve)
+    else:
+        from gemma_tpu.models.mvlmm import MvlmmNull
+        UtY = U.T @ jnp.asarray(ds.Y, dtype=dtype)
+        null = MvlmmNull(eval_, UtW.T, UtY.T, cfg)
+        Vg = np.asarray(null.Vg_remle)
+        Ve = np.asarray(null.Ve_remle)
+        B = np.asarray(null.B_remle)               # (d, c)
+        Y_hat = W_full @ B.T
+        out = mvnorm_predict(Y_full, Y_hat, G_full, Vg, Ve)
+
+    ensure_outdir(cfg.path_out)
+    with open(f"{cfg.out_prefix()}.prdt.txt", "w") as fh:
+        ci = 0
+        for i in range(ds.ni_total):
+            if not ind_cvt[i]:
+                fh.write("NA\n")
+            else:
+                fh.write("\t".join(f"{v:.6g}" for v in out[ci]) + "\t\n")
+                ci += 1
+
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = int(ind_cvt.sum())
+    log.summary["number of individuals with full phenotypes"] = ds.ni_test
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode, n_ph=d)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # -calccor (mode 71)
 
@@ -718,6 +830,8 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
         run_bslmm(cfg, log)
     elif cfg.a_mode in (41, 42):
         run_predict(cfg, log)
+    elif cfg.a_mode == 43:
+        run_predict43(cfg, log)
     elif cfg.a_mode == 71:
         run_calccor(cfg, log)
     else:

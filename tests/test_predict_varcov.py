@@ -62,6 +62,50 @@ def test_probit():
     np.testing.assert_allclose(probit_transform(np.zeros(3)), 0.5)
 
 
+def test_mvnorm_predict_conditional_expectation():
+    """mode 43: imputed values equal the Gaussian conditional mean."""
+    from gemma_tpu.models.predict import mvnorm_predict
+    rng = np.random.default_rng(5)
+    m = 30
+    A = rng.normal(size=(m, 50))
+    G = A @ A.T / 50
+    vg, ve = 1.3, 0.7
+    H = vg * G + ve * np.eye(m)
+    y = rng.multivariate_normal(np.zeros(m), H)
+    Y_full = y[:, None].copy()
+    Y_full[[3, 7, 20]] = np.nan
+    Y_hat = np.full((m, 1), 0.2)
+
+    out = mvnorm_predict(Y_full, Y_hat, G, np.asarray(vg), np.asarray(ve))
+    obs = ~np.isnan(Y_full[:, 0])
+    want = 0.2 + H[~obs][:, obs] @ np.linalg.solve(
+        H[np.ix_(obs, obs)], y[obs] - 0.2)
+    np.testing.assert_allclose(out[~obs, 0], want, rtol=1e-10)
+    # observed values untouched
+    np.testing.assert_allclose(out[obs, 0], y[obs])
+
+
+def test_mvnorm_predict_two_phenotypes():
+    from gemma_tpu.models.predict import mvnorm_predict
+    rng = np.random.default_rng(6)
+    m, d = 15, 2
+    A = rng.normal(size=(m, 30))
+    G = A @ A.T / 30
+    Vg = np.array([[1.0, 0.3], [0.3, 0.8]])
+    Ve = np.array([[0.5, 0.1], [0.1, 0.6]])
+    H = np.kron(G, Vg) + np.kron(np.eye(m), Ve)
+    yv = rng.multivariate_normal(np.zeros(m * d), H)
+    Y_full = yv.reshape(m, d).copy()
+    Y_full[2, 0] = np.nan
+    Y_full[9, 1] = np.nan
+    Y_hat = np.zeros((m, d))
+    out = mvnorm_predict(Y_full, Y_hat, G, Vg, Ve)
+    obs = ~np.isnan(Y_full.reshape(-1))
+    want = H[np.ix_(~obs, obs)] @ np.linalg.solve(H[np.ix_(obs, obs)],
+                                                  yv[obs])
+    np.testing.assert_allclose(out.reshape(-1)[~obs], want, rtol=1e-10)
+
+
 def test_calc_neighbours_windows():
     chr_ = ["1", "1", "1", "2", "2"]
     pos = np.array([100, 200, 5000, 100, 150])
