@@ -50,6 +50,7 @@ class GemmaConfig:
     file_emu: str = ""         # -emu
     file_beta: str = ""        # -beta (summary stats)
     file_cor: str = ""         # -cor
+    file_gene: str = ""        # -gene (expression matrix)
 
     # phenotype columns (-n, 1-based)
     p_columns: Sequence[int] = (1,)

@@ -103,6 +103,10 @@ class ChainState(NamedTuple):
     alpha: jax.Array       # (n,)  current alpha'
     Utu: jax.Array         # (n,)
     UtXb: jax.Array        # (n,)
+    Utz: jax.Array         # (n,) rotated working response (= Uty, mode 11;
+                           #      resampled latent liabilities, mode 13)
+    mean_z: jax.Array      # probit intercept accumulator (mode 13)
+    acc_mean_z: jax.Array
     n_accept: jax.Array
     # accumulators
     acc_alpha: jax.Array   # (n,)
@@ -114,15 +118,20 @@ class ChainState(NamedTuple):
     w: jax.Array           # number of recorded states
 
 
-def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
+def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma,
+                   st: BslmmSettings, U=None, y_labels=None):
     """Build the jitted single-iteration MCMC update (one t of
-    bslmm.cpp:992-1151, with its n_mh inner M-H steps)."""
+    bslmm.cpp:992-1151, with its n_mh inner M-H steps).
+
+    For the probit model (a_mode 13) pass U (eigenvectors) and
+    y_labels (centered case/control labels): each iteration resamples
+    the latent liabilities by truncated normals around z_hat
+    (SampleZ, bslmm.cpp:689-713)."""
     n, p = UtX_sorted.shape
     s_max = st.s_max
     dtype = UtX_sorted.dtype
     cum_p = jnp.cumsum(jnp.asarray(p_gamma, dtype))
     p_gamma_d = jnp.asarray(p_gamma, dtype)
-    yty = Uty @ Uty
     SENT = p  # sentinel rank
 
     def gather_X(ranks, n_gamma):
@@ -132,7 +141,7 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
         Xg = UtX_sorted[:, cols] * mask[None, :]
         return Xg, mask
 
-    def calc_posterior(key, ranks, n_gamma, h, rho, logp):
+    def calc_posterior(key, uty, ranks, n_gamma, h, rho, logp):
         """Masked-shape CalcPosterior (both overloads,
         bslmm.cpp:450-642).  Returns (logpost, beta, UtXb, alpha, Utu,
         pve, pge)."""
@@ -143,7 +152,7 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
         d = eval_ * sigma_b2
         w_hi = 1.0 / (d + 1.0)
         logdet_H = -jnp.sum(jnp.log(w_hi))
-        Hi_yy0 = jnp.sum(w_hi * Uty * Uty)
+        Hi_yy0 = jnp.sum(w_hi * uty * uty)
         utu_rand = jax.random.normal(k1, (n,), dtype) * jnp.sqrt(d * w_hi)
 
         use_x = (n_gamma > 0) & (rho != 0)
@@ -151,17 +160,17 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
         Xg, mask = gather_X(ranks, n_gamma)
         Xw = Xg * w_hi[:, None]
         Omega = sigma_a2 * (Xw.T @ Xg) + jnp.eye(s_max, dtype=dtype)
-        XtHiy = Xw.T @ Uty                       # masked cols → zeros
+        XtHiy = Xw.T @ uty                       # masked cols → zeros
         L = jnp.linalg.cholesky(Omega)
         logdet_O = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
         beta_hat = sigma_a2 * jax.scipy.linalg.cho_solve((L, True), XtHiy)
         quad = XtHiy @ beta_hat
         P_yy = jnp.where(use_x, Hi_yy0 - quad, Hi_yy0)
 
-        tau = jnp.where(
-            st.a_mode == 11,
-            jax.random.gamma(k2, n / 2.0, dtype=dtype) * (2.0 / P_yy),
-            1.0)
+        if st.a_mode == 13:
+            tau = jnp.asarray(1.0, dtype)
+        else:
+            tau = jax.random.gamma(k2, n / 2.0, dtype=dtype) * (2.0 / P_yy)
 
         z = jax.random.normal(k3, (s_max,), dtype)
         # beta = beta_hat + sqrt(sigma_a2/tau) * L^-T z (bslmm.cpp:582-590)
@@ -170,9 +179,9 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
         beta_s = beta_s * mask
         UtXb = jnp.where(use_x, Xg @ beta_s, jnp.zeros(n, dtype))
 
-        alpha = (Uty - UtXb) * w_hi * sigma_b2
-        Utu = alpha * eval_ + utu_rand * jnp.where(st.a_mode == 11,
-                                                   jnp.sqrt(1.0 / tau), 1.0)
+        alpha = (uty - UtXb) * w_hi * sigma_b2
+        scale_u = jnp.sqrt(1.0 / tau) if st.a_mode != 13 else 1.0
+        Utu = alpha * eval_ + utu_rand * scale_u
 
         pge_raw = jnp.sum(UtXb * UtXb) / n
         uu = jnp.sum(Utu * Utu) / n
@@ -182,7 +191,10 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
         pve = pve / (pve + 1.0 / tau)
 
         logpost = -0.5 * logdet_H - jnp.where(use_x, 0.5 * logdet_O, 0.0)
-        logpost = logpost - 0.5 * n * jnp.log(P_yy)
+        if st.a_mode == 13:
+            logpost = logpost - 0.5 * P_yy
+        else:
+            logpost = logpost - 0.5 * n * jnp.log(P_yy)
         logpost = logpost + (n_gamma - 1.0) * logp + (p - n_gamma) * jnp.log(
             1.0 - jnp.exp(logp))
         return logpost, beta_s, UtXb, alpha, Utu, pve, pge
@@ -313,7 +325,7 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
 
         key, kp = jax.random.split(key)
         logpost_n, beta_n, UtXb_n, alpha_n, Utu_n, pve_n, pge_n = \
-            calc_posterior(kp, ranks_n, ng_n, h_n, rho_n, logp_n)
+            calc_posterior(kp, s.Utz, ranks_n, ng_n, h_n, rho_n, logp_n)
 
         logmh = lr_pi + lr_g + logpost_n - s.logpost
         key, ka = jax.random.split(key)
@@ -339,8 +351,39 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
         )
 
     def iteration(t, s: ChainState) -> ChainState:
+        if st.a_mode == 13:
+            # resample latent liabilities (SampleZ, bslmm.cpp:689-713):
+            # z_i ~ N(z_hat_i, 1) truncated by the case/control label
+            key, kz, km = jax.random.split(s.key, 3)
+            z_hat = U @ (s.UtXb + s.Utu) + s.mean_z
+            eps = jax.random.truncated_normal(
+                kz,
+                jnp.where(y_labels <= 0, -jnp.inf, -z_hat),
+                jnp.where(y_labels <= 0, -z_hat, jnp.inf),
+                (n,), dtype)
+            z = z_hat + eps
+            mean_z = jnp.mean(z)
+            z = z - mean_z
+            Utz = U.T @ z
+            # refresh the posterior at the current state (bslmm.cpp:1006-1026)
+            key, kp = jax.random.split(key)
+            logpost0, beta0, UtXb0, alpha0, Utu0, pve0, pge0 = \
+                calc_posterior(kp, Utz, s.ranks, s.n_gamma, s.h, s.rho,
+                               s.logp)
+            s = s._replace(key=key, Utz=Utz, mean_z=mean_z,
+                           logpost=logpost0, beta=beta0, UtXb=UtXb0,
+                           alpha=alpha0, Utu=Utu0, pve=pve0, pge=pge0)
+
         for _ in range(st.n_mh):
             s = mh_step(s)
+
+        if st.a_mode == 13:
+            # sample the intercept and update mean_z
+            # (bslmm.cpp:1100-1105)
+            key, kg = jax.random.split(s.key)
+            z_res_mean = s.mean_z + jax.random.normal(kg, (), dtype) * \
+                jnp.sqrt(1.0 / n)
+            s = s._replace(key=key, mean_z=z_res_mean)
 
         # record every r_pace steps after burn-in (bslmm.cpp:1110-1149);
         # non-recording iterations scatter into a trailing dummy row so
@@ -365,6 +408,8 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
         return s._replace(
             acc_alpha=jnp.where(do_rec, s.acc_alpha + s.alpha, s.acc_alpha),
             acc_Utu=jnp.where(do_rec, s.acc_Utu + s.Utu, s.acc_Utu),
+            acc_mean_z=jnp.where(do_rec, s.acc_mean_z + s.mean_z,
+                                 s.acc_mean_z),
             acc_beta=acc_beta, acc_betacnt=acc_betacnt,
             rec_hyp=rec_hyp, rec_gamma=rec_gamma,
             w=s.w + do_rec.astype(jnp.int32),
@@ -375,7 +420,7 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma, st: BslmmSettings):
 
 def run_mcmc(UtX_sorted, Uty, eval_, trace_G, settings: BslmmSettings,
              h0: float, rho0: float, logp0: float, n_gamma0: int,
-             seed: int = 0):
+             seed: int = 0, U=None, y_labels=None):
     """Run the full chain on device.  Returns the final ChainState."""
     n, p = UtX_sorted.shape
     dtype = UtX_sorted.dtype
@@ -385,14 +430,14 @@ def run_mcmc(UtX_sorted, Uty, eval_, trace_G, settings: BslmmSettings,
 
     calc_posterior, iteration = make_mcmc_step(
         UtX_sorted, Uty, eval_, trace_G, calc_p_gamma(p, settings.geo_mean),
-        settings)
+        settings, U=U, y_labels=y_labels)
 
     key = jax.random.PRNGKey(seed)
     key, kp = jax.random.split(key)
     ranks0 = jnp.where(jnp.arange(s_max) < n_gamma0,
                        jnp.arange(s_max), p).astype(jnp.int32)
     logpost0, beta0, UtXb0, alpha0, Utu0, pve0, pge0 = calc_posterior(
-        kp, ranks0, jnp.int32(n_gamma0), jnp.asarray(h0, dtype),
+        kp, Uty, ranks0, jnp.int32(n_gamma0), jnp.asarray(h0, dtype),
         jnp.asarray(rho0, dtype), jnp.asarray(logp0, dtype))
 
     state = ChainState(
@@ -400,7 +445,8 @@ def run_mcmc(UtX_sorted, Uty, eval_, trace_G, settings: BslmmSettings,
         h=jnp.asarray(h0, dtype), rho=jnp.asarray(rho0, dtype),
         logp=jnp.asarray(logp0, dtype), logpost=logpost0,
         pve=pve0, pge=pge0, beta=beta0, alpha=alpha0, Utu=Utu0,
-        UtXb=UtXb0, n_accept=jnp.int32(0),
+        UtXb=UtXb0, Utz=Uty, mean_z=jnp.zeros((), dtype),
+        acc_mean_z=jnp.zeros((), dtype), n_accept=jnp.int32(0),
         acc_alpha=jnp.zeros(n, dtype), acc_Utu=jnp.zeros(n, dtype),
         acc_beta=jnp.zeros(p, dtype), acc_betacnt=jnp.zeros(p, dtype),
         rec_hyp=jnp.zeros((n_rec, 6), dtype),

@@ -488,8 +488,6 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
     dtype = _resolve_dtype(cfg)
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
-    if cfg.a_mode == 13:
-        raise NotImplementedError("-bslmm 3 (probit) not yet implemented")
 
     idx = np.flatnonzero(ds.qc.indicator_snp)
     ns_test = len(idx)
@@ -579,7 +577,8 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
         h_min=cfg.h_min, h_max=cfg.h_max, rho_min=cfg.rho_min,
         rho_max=cfg.rho_max, logp_min=cfg.logp_min, logp_max=cfg.logp_max,
         geo_mean=cfg.geo_mean, w_step=cfg.w_step, s_step=cfg.s_step,
-        r_pace=cfg.r_pace, w_pace=cfg.w_pace, a_mode=cfg.a_mode)
+        r_pace=cfg.r_pace, w_pace=cfg.w_pace,
+        n_mh=1 if cfg.a_mode == 11 else cfg.n_mh, a_mode=cfg.a_mode)
 
     # initial values (InitialMCMC, bslmm.cpp:367-448)
     q_genome = scipy.stats.chi2.isf(0.05 / ns_test, 1)
@@ -611,7 +610,9 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
     with log.timer.phase("opt"):
         final = run_mcmc(UtX_sorted, Uty, eval_, jnp.asarray(trace_G, dtype),
                          st, h0, rho0, logp0, n_gamma0,
-                         seed=cfg.seed if cfg.seed >= 0 else 0)
+                         seed=cfg.seed if cfg.seed >= 0 else 0,
+                         U=Ud if cfg.a_mode == 13 else None,
+                         y_labels=yd if cfg.a_mode == 13 else None)
         final.rec_hyp.block_until_ready()
 
     w = int(final.w)

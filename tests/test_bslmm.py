@@ -56,7 +56,7 @@ def test_posterior_matches_dense():
     ng = 4
     ranks = jnp.where(jnp.arange(20) < ng, jnp.arange(20), p).astype(jnp.int32)
     key = jax.random.PRNGKey(0)
-    logpost, *_ = calc_posterior(key, ranks, jnp.int32(ng),
+    logpost, *_ = calc_posterior(key, Uty, ranks, jnp.int32(ng),
                                  jnp.float64(h), jnp.float64(rho),
                                  jnp.float64(logp))
 
@@ -109,6 +109,28 @@ def test_short_chain_finds_causal_snps():
 
     accept_ratio = int(final.n_accept) / (st.w_step + st.s_step)
     assert 0.01 < accept_ratio < 0.9
+
+
+def test_probit_chain_runs():
+    """-bslmm 3: case/control chain with latent liability resampling."""
+    rng = np.random.default_rng(7)
+    Xc, y_cont, K, causal = _sim(n=120, p=60, n_causal=2, seed=7, h2=0.7)
+    y01 = (y_cont > 0).astype(np.float64)
+    y_lab = y01 - y01.mean()                    # centered labels
+    eval_, U, trace_G, UtX, Uty = _eigen_setup(Xc, y_lab, K)
+    n, p = UtX.shape
+
+    st = BslmmSettings(ns_test=p, ni_test=n, s_max=10,
+                       w_step=100, s_step=400, r_pace=2, n_mh=2, a_mode=13)
+    final = run_mcmc(UtX, Uty, eval_, trace_G, st,
+                     h0=0.4, rho0=0.8, logp0=np.log(4.0 / p), n_gamma0=4,
+                     seed=8, U=U, y_labels=jnp.asarray(y_lab))
+    w = int(final.w)
+    assert w == 200
+    hyp = np.asarray(final.rec_hyp)[:w]
+    assert np.all(np.isfinite(hyp))
+    assert np.all((hyp[:, 1] >= 0) & (hyp[:, 1] <= 1))   # pve
+    assert int(final.n_accept) > 0
 
 
 def test_ridge_gblup_closed_form():
