@@ -91,6 +91,12 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.file_cor = take()
         elif a == "-gene":
             cfg.file_gene = take()
+        elif a == "-cat":
+            cfg.file_cat = take()
+        elif a == "-study":
+            cfg.file_study = take()
+        elif a == "-ref":
+            cfg.file_ref = take()
         elif a == "-n":
             cfg.p_columns = tuple(int(v) for v in take_multi()) or (1,)
         elif a == "-km":

@@ -51,6 +51,9 @@ class GemmaConfig:
     file_beta: str = ""        # -beta (summary stats)
     file_cor: str = ""         # -cor
     file_gene: str = ""        # -gene (expression matrix)
+    file_cat: str = ""         # -cat (SNP categories)
+    file_study: str = ""       # -study (prefix of .q/.Vq/.size)
+    file_ref: str = ""         # -ref (prefix of .S/.size)
 
     # phenotype columns (-n, 1-based)
     p_columns: Sequence[int] = (1,)

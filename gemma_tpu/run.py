@@ -417,6 +417,122 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# MQS building blocks: -gs (S matrix), -gq (q vector)
+
+def _snp_categories(ds: Dataset, cfg: GemmaConfig):
+    """(cats per QC-passing SNP in file order, n_vc, rs2cat or None)."""
+    from gemma_tpu.models.mqs import read_categories
+    idx = np.flatnonzero(ds.qc.indicator_snp)
+    if cfg.file_cat:
+        rs2cat, n_vc = read_categories(cfg.file_cat)
+        cats = np.array([rs2cat.get(ds.geno.snps.rs[i], -1) for i in idx],
+                        dtype=np.int64)
+        return idx, cats, n_vc, rs2cat
+    return idx, np.zeros(len(idx), dtype=np.int64), 1, None
+
+
+def run_gs(cfg: GemmaConfig, log: RunLog | None = None):
+    """-gs: S matrix (+ jackknife variance) from reference genotypes
+    (gemma.cpp:1947-2001)."""
+    from gemma_tpu.models.mqs import calc_s
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+    idx, cats, n_vc, _ = _snp_categories(ds, cfg)
+
+    X = ds.geno.X[idx][:, ds.indicator_idv]
+    with log.timer.phase("kinship"):
+        S, Svar, ns = calc_s(X, ds.W, cats, n_vc)
+
+    ensure_outdir(cfg.path_out)
+    write_matrix(f"{cfg.out_prefix()}.S.txt", np.vstack([S, Svar]))
+    write_vector(f"{cfg.out_prefix()}.size.txt",
+                 np.concatenate([ns.astype(float), [float(ds.ni_test)]]))
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of variance components"] = n_vc
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return S, Svar, ns
+
+
+def run_gq(cfg: GemmaConfig, log: RunLog | None = None):
+    """-gq: q vector + block-jackknife Vq from summary statistics
+    (gemma.cpp:2003-2043)."""
+    from gemma_tpu.models.mqs import (read_beta_summary, read_categories,
+                                      calcq)
+    log = log or RunLog(argv=["gemma-tpu"])
+    rs2cat, n_vc = (None, 1)
+    if cfg.file_cat:
+        rs2cat, n_vc = read_categories(cfg.file_cat)
+    beta = read_beta_summary(cfg.file_beta, rs2cat=rs2cat)
+    Vq, q, s = calcq(cfg.n_block, beta.cat, beta.ni, beta.weight,
+                     beta.z2, n_vc)
+
+    ensure_outdir(cfg.path_out)
+    write_matrix(f"{cfg.out_prefix()}.Vq.txt", Vq)
+    write_vector(f"{cfg.out_prefix()}.q.txt", q)
+    write_vector(f"{cfg.out_prefix()}.size.txt",
+                 np.concatenate([s, [float(beta.ni_total)]]))
+    log.summary["number of total individuals"] = beta.ni_total
+    log.summary["number of total SNPs/var"] = beta.ns_total
+    log.summary["number of analyzed SNPs/var"] = beta.ns_test
+    log.summary["number of variance components"] = n_vc
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return Vq, q, s
+
+
+def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
+    """-vc with -beta: MQS estimation — q from the summary file, S from
+    the reference genotypes, then solve S pve = q
+    (gemma.cpp:2102-2230)."""
+    from gemma_tpu.models.mqs import (read_beta_summary, read_categories,
+                                      calcq, calc_s, calc_vc_ss)
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+    idx, cats, n_vc, rs2cat = _snp_categories(ds, cfg)
+
+    beta = read_beta_summary(cfg.file_beta, rs2cat=rs2cat)
+    Vq, q, s = calcq(cfg.n_block, beta.cat, beta.ni, beta.weight,
+                     beta.z2, n_vc)
+
+    # restrict the reference SNPs to those present in the beta file
+    beta_set = set(beta.rs)
+    in_beta = np.array([ds.geno.snps.rs[i] in beta_set for i in idx])
+    cats_used = np.where(in_beta, cats, -1)
+    X = ds.geno.X[idx][:, ds.indicator_idv]
+    with log.timer.phase("kinship"):
+        S, Svar, ns = calc_s(X, ds.W, cats_used, n_vc)
+
+    res = calc_vc_ss(Vq, S, Svar, q, s, float(beta.ni_total))
+
+    ensure_outdir(cfg.path_out)
+    write_matrix(f"{cfg.out_prefix()}.S.txt", np.vstack([S, Svar]))
+    write_matrix(f"{cfg.out_prefix()}.Vq.txt", Vq)
+    write_vector(f"{cfg.out_prefix()}.q.txt", q)
+    write_vector(f"{cfg.out_prefix()}.size.txt",
+                 np.concatenate([s, [float(ds.ni_test)]]))
+
+    log.summary["number of total individuals in the sample"] = beta.ni_total
+    log.summary["number of total individuals in the reference"] = ds.ni_total
+    log.summary["number of total SNPs/var in the sample"] = beta.ns_total
+    log.summary["number of analyzed SNPs/var"] = beta.ns_test
+    log.summary["number of variance components"] = n_vc
+    log.extra.append("pve estimates = " +
+                     "".join(f"  {v:.6g}" for v in res.pve))
+    log.extra.append("se(pve) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_pve))
+    log.extra.append("sigma2 per snp = " +
+                     "".join(f"  {v:.6g}" for v in res.sigma2persnp))
+    log.extra.append("se(sigma2 per snp) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_sigma2persnp))
+    log.extra.append("enrichment = " +
+                     "".join(f"  {v:.6g}" for v in res.enrich))
+    log.extra.append("se(enrichment) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_enrich))
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return res
+
+
+# ---------------------------------------------------------------------------
 # -vc: variance components (individual-level path)
 
 def run_vc(cfg: GemmaConfig, log: RunLog | None = None):
@@ -826,7 +942,14 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     elif cfg.a_mode in (51, 52, 53, 54):
         run_lm(cfg, log)
     elif cfg.a_mode in (61, 62, 63):
-        run_vc(cfg, log)
+        if cfg.file_beta:
+            run_vc_summary(cfg, log)
+        else:
+            run_vc(cfg, log)
+    elif cfg.a_mode in (25, 26):
+        run_gs(cfg, log)
+    elif cfg.a_mode in (27, 28):
+        run_gq(cfg, log)
     elif cfg.a_mode in (11, 12, 13):
         run_bslmm(cfg, log)
     elif cfg.a_mode in (41, 42):
