@@ -97,6 +97,10 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.file_study = take()
         elif a == "-ref":
             cfg.file_ref = take()
+        elif a == "-hyp":
+            cfg.file_hyp = take()
+        elif a == "-bf":
+            cfg.file_bf = take()
         elif a == "-n":
             cfg.p_columns = tuple(int(v) for v in take_multi()) or (1,)
         elif a == "-km":

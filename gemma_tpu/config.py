@@ -54,6 +54,8 @@ class GemmaConfig:
     file_cat: str = ""         # -cat (SNP categories)
     file_study: str = ""       # -study (prefix of .q/.Vq/.size)
     file_ref: str = ""         # -ref (prefix of .S/.size)
+    file_hyp: str = ""         # -hyp (DAP hyper grid file)
+    file_bf: str = ""          # -bf (DAP Bayes factor file)
 
     # phenotype columns (-n, 1-based)
     p_columns: Sequence[int] = (1,)

@@ -654,6 +654,21 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
     ensure_outdir(cfg.path_out)
     rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
 
+    if cfg.a_mode == 14:   # DAP step 1: per-SNP grid Bayes factors
+        from gemma_tpu.models.bslmmdap import hyper_grid, dap_calc_bf, \
+            write_hyp_bf
+        h_min = 0.0 if cfg.h_min == -1 else cfg.h_min
+        h_max = 1.0 if cfg.h_max == -1 else cfg.h_max
+        grid = hyper_grid(h_min, h_max, cfg.h_ngrid,
+                          cfg.rho_min, cfg.rho_max, cfg.rho_ngrid,
+                          float(trace_G))
+        with log.timer.phase("opt"):
+            BF = dap_calc_bf(UtX, Uty, eval_, grid)
+        write_hyp_bf(cfg.out_prefix(), grid, BF, rows)
+        log.summary["number of analyzed SNPs/var"] = ns_test
+        log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+        return None
+
     if cfg.a_mode == 12:   # ridge / GBLUP
         alpha, u_rot = ridge_gblup(UtX, Uty, eval_, nf.l_remle)
         bv = np.asarray(Ud @ u_rot)
@@ -768,6 +783,26 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
     log.summary["number of analyzed SNPs/var"] = ns_test
     log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
     return final
+
+
+def run_bslmmdap_em(cfg: GemmaConfig, log: RunLog | None = None):
+    """-bslmm 5: DAP hyper-parameter EM from -hyp/-bf files
+    (gemma.cpp:3085-3136)."""
+    from gemma_tpu.models.bslmmdap import (read_hyp, read_bf,
+                                           dap_estimate_hyper,
+                                           write_dap_result)
+    log = log or RunLog(argv=["gemma-tpu"])
+    sa2, sb2, wab = read_hyp(cfg.file_hyp)
+    rs_list, blocks = read_bf(cfg.file_bf)
+    with log.timer.phase("opt"):
+        Hyper, pip, coef = dap_estimate_hyper(sa2, sb2, wab, blocks,
+                                              rs_list)
+    ensure_outdir(cfg.path_out)
+    write_dap_result(cfg.out_prefix(), rs_list, Hyper, pip, coef)
+    log.summary["number of analyzed SNPs/var"] = len(rs_list)
+    log.summary["grid size for hyperparameters"] = len(wab)
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return Hyper, pip, coef
 
 
 # ---------------------------------------------------------------------------
@@ -950,8 +985,10 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
         run_gs(cfg, log)
     elif cfg.a_mode in (27, 28):
         run_gq(cfg, log)
-    elif cfg.a_mode in (11, 12, 13):
+    elif cfg.a_mode in (11, 12, 13, 14):
         run_bslmm(cfg, log)
+    elif cfg.a_mode == 15:
+        run_bslmmdap_em(cfg, log)
     elif cfg.a_mode in (41, 42):
         run_predict(cfg, log)
     elif cfg.a_mode == 43:
