@@ -1,0 +1,91 @@
+"""ctypes bindings for the native (C++) data loader.
+
+The library is built on demand from native/ (make) and loaded lazily;
+all callers fall back to the pure-Python readers if the toolchain or
+library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_RS_LEN = 64
+_ALLELE_LEN = 16
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgemma_native.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR],
+                           capture_output=True, check=True, timeout=120)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.bimbam_count.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.bimbam_count.restype = ctypes.c_int
+        lib.bimbam_parse.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64]
+        lib.bimbam_parse.restype = ctypes.c_int64
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_bimbam(path: str):
+    """Parse a BIMBAM genotype file natively.
+
+    Returns (rs list, a1 list, a0 list, X (p, n) float64 with NaN
+    missing) or None if the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+
+    n_rows = ctypes.c_int64()
+    n_cols = ctypes.c_int64()
+    rc = lib.bimbam_count(path.encode(), ctypes.byref(n_rows),
+                          ctypes.byref(n_cols))
+    if rc != 0 or n_rows.value <= 0 or n_cols.value <= 0:
+        return None
+
+    p, n = n_rows.value, n_cols.value
+    X = np.empty((p, n), dtype=np.float64)
+    rs_buf = ctypes.create_string_buffer(p * _RS_LEN)
+    a1_buf = ctypes.create_string_buffer(p * _ALLELE_LEN)
+    a0_buf = ctypes.create_string_buffer(p * _ALLELE_LEN)
+
+    got = lib.bimbam_parse(path.encode(), X, rs_buf, a1_buf, a0_buf, p, n)
+    if got != p:
+        return None
+
+    def _fixed(buf, width, count):
+        raw = np.frombuffer(buf, dtype=f"S{width}", count=count)
+        return [s.split(b"\x00", 1)[0].decode() for s in raw]
+
+    rs = _fixed(rs_buf, _RS_LEN, p)
+    a1 = _fixed(a1_buf, _ALLELE_LEN, p)
+    a0 = _fixed(a0_buf, _ALLELE_LEN, p)
+    return rs, a1, a0, X

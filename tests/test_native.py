@@ -1,0 +1,48 @@
+"""Native C++ BIMBAM parser vs the pure-Python fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gemma_tpu.io import native
+
+BXD = "/root/reference/example/BXD_geno.txt.gz"
+
+
+def test_native_builds_and_loads():
+    assert native.available(), "native library failed to build/load"
+
+
+@pytest.mark.skipif(not os.path.exists(BXD), reason="BXD not available")
+def test_native_matches_python_parser():
+    out = native.parse_bimbam(BXD)
+    assert out is not None
+    rs, a1, a0, X = out
+
+    # force the Python path
+    import gemma_tpu.io.bimbam as bb
+    import gemma_tpu.io.native as nat
+    saved = (nat._lib, nat._tried)
+    try:
+        nat._lib, nat._tried = None, True
+        g = bb.read_bimbam_genotypes(BXD)
+    finally:
+        nat._lib, nat._tried = saved
+
+    assert list(g.snps.rs) == rs
+    assert list(g.snps.a_minor) == a1
+    np.testing.assert_array_equal(np.isnan(g.X), np.isnan(X))
+    nz = ~np.isnan(X)
+    np.testing.assert_array_equal(g.X[nz], X[nz])
+
+
+def test_native_handles_na_and_commas(tmp_path):
+    f = tmp_path / "g.txt"
+    f.write_text("rs1, A, T, 0.5, NA, 2\nrs2 G C 1 0 NA\n")
+    out = native.parse_bimbam(str(f))
+    assert out is not None
+    rs, a1, a0, X = out
+    assert rs == ["rs1", "rs2"]
+    np.testing.assert_allclose(X[0, [0, 2]], [0.5, 2.0])
+    assert np.isnan(X[0, 1]) and np.isnan(X[1, 2])
