@@ -44,12 +44,16 @@ class LmmBatchData(NamedTuple):
     wy_prod: (n, m_wy) elementwise products of the {W,y}-pair columns,
              ordered to match PabIndices.wy_positions
     Utx:     (S, n) rotated genotypes for the block (zeros for null fits)
+    iab_logdiag: (S, n_cvt+1) log of the identity-weighted recurrence
+             diagonals (lambda-independent piece of the REML logdet,
+             precomputed once per block instead of per logf call)
     """
 
     eval: jax.Array
     UtWy: jax.Array
     wy_prod: jax.Array
     Utx: jax.Array
+    iab_logdiag: jax.Array
 
 
 def build_batch_data(eval_, UtW, Uty, Utx, n_cvt: int) -> LmmBatchData:
@@ -62,7 +66,16 @@ def build_batch_data(eval_, UtW, Uty, Utx, n_cvt: int) -> LmmBatchData:
         cb = UtWy[:, b - 1] if b <= n_cvt else UtWy[:, n_cvt]
         cols.append(ca * cb)
     wy_prod = jnp.stack(cols, axis=1)
-    return LmmBatchData(eval=eval_, UtWy=UtWy, wy_prod=wy_prod, Utx=Utx)
+
+    data = LmmBatchData(eval=eval_, UtWy=UtWy, wy_prod=wy_prod, Utx=Utx,
+                        iab_logdiag=None)
+    ones = jnp.ones(Utx.shape, dtype=eval_.dtype)
+    iab = _pab_rows(_base_row(ones, data, n_cvt), n_cvt)
+    # log of Iab[i, diag_i] for i = 0..n_cvt; the x diagonal (i=n_cvt)
+    # is only consumed by alt-model REML fits where x is nonzero
+    logs = [jnp.log(iab[i][..., int(idx.diag[i])])
+            for i in range(n_cvt + 1)]
+    return data._replace(iab_logdiag=jnp.stack(logs, axis=-1))
 
 
 def null_batch_data(eval_, UtW, Uty, n_cvt: int) -> LmmBatchData:
@@ -192,13 +205,13 @@ def logf(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
 
     if reml:
         df = float(n - n_cvt) if calc_null else float(n - n_cvt - 1)
-        # |W'H^-1 W| / |W'W| via the recurrence diagonals (lmm.cpp:843-850)
-        ones = jnp.ones_like(hi)
-        iab = _pab_rows(_base_row(ones, data, n_cvt), n_cvt)
+        # |W'H^-1 W| / |W'W| via the recurrence diagonals (lmm.cpp:843-850);
+        # the identity-weighted half is precomputed per block
         logdet_hiw = jnp.zeros_like(p_yy)
         for i in range(nc_total):
             d = idx.diag[i]
-            logdet_hiw = logdet_hiw + jnp.log(pab[i][..., d]) - jnp.log(iab[i][..., d])
+            logdet_hiw = (logdet_hiw + jnp.log(pab[i][..., d])
+                          - data.iab_logdiag[..., i])
         c = float(0.5 * df * (np.log(df) - _LOG_2PI - 1.0))
         return c - 0.5 * logdet_h - 0.5 * logdet_hiw - 0.5 * df * jnp.log(p_yy)
     else:
