@@ -121,9 +121,21 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
     with log.timer.phase("eigen"):
         Kd = jnp.asarray(K, dtype=dtype)
         Kd = center_matrix(Kd)
+        if ds.weights is not None:
+            # residual weights (-widv): G_ij /= sqrt(w_i w_j), then
+            # scale U rows by sqrt(w_i) (gemma.cpp:2599-2644)
+            w = jnp.asarray(ds.weights, dtype=dtype)
+            sw = jnp.where(w > 0, jnp.sqrt(jnp.maximum(w, 0.0)), 0.0)
+            denom = jnp.outer(sw, sw)
+            Kd = jnp.where(denom > 0, Kd / jnp.where(denom > 0, denom, 1.0),
+                           0.0)
         if cfg.check:
             validate_kinship(np.asarray(jax.device_get(Kd)))
         eval_, U, trace_G = eigh_zeroed(Kd)
+        if ds.weights is not None:
+            w = jnp.asarray(ds.weights, dtype=dtype)
+            sw = jnp.where(w > 0, jnp.sqrt(jnp.maximum(w, 0.0)), 0.0)
+            U = U * sw[:, None]
         eval_.block_until_ready()
     return eval_, U, trace_G
 
@@ -478,6 +490,53 @@ def run_gq(cfg: GemmaConfig, log: RunLog | None = None):
     log.summary["number of variance components"] = n_vc
     log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
     return Vq, q, s
+
+
+def run_vc_study_ref(cfg: GemmaConfig, log: RunLog | None = None):
+    """-vc with -study/-ref: solve S pve = q from precomputed MQS
+    files (the outputs of -gq and -gs; gemma.cpp:2231-2312)."""
+    from gemma_tpu.models.mqs import calc_vc_ss
+    log = log or RunLog(argv=["gemma-tpu"])
+
+    s_study_full = np.loadtxt(cfg.file_study + ".size.txt")
+    n_vc = len(np.atleast_1d(s_study_full)) - 1
+    s_study = np.atleast_1d(s_study_full)[:n_vc]
+    ni_study = int(np.atleast_1d(s_study_full)[n_vc])
+    q = np.atleast_1d(np.loadtxt(cfg.file_study + ".q.txt"))[:n_vc]
+    Vq = np.loadtxt(cfg.file_study + ".Vq.txt").reshape(n_vc, n_vc)
+
+    s_ref_full = np.atleast_1d(np.loadtxt(cfg.file_ref + ".size.txt"))
+    s_ref = s_ref_full[:n_vc]
+    ni_ref = int(s_ref_full[n_vc])
+    Sfull = np.loadtxt(cfg.file_ref + ".S.txt").reshape(2 * n_vc, n_vc)
+    S, Svar = Sfull[:n_vc], Sfull[n_vc:]
+
+    res = calc_vc_ss(Vq, S, Svar, q, s_study, float(ni_study))
+
+    ensure_outdir(cfg.path_out)
+    write_matrix(f"{cfg.out_prefix()}.S.txt", Sfull)
+    write_matrix(f"{cfg.out_prefix()}.Vq.txt", Vq)
+    write_vector(f"{cfg.out_prefix()}.q.txt", q)
+    write_vector(f"{cfg.out_prefix()}.size.txt",
+                 np.concatenate([s_ref, [float(ni_ref)]]))
+
+    log.summary["number of total individuals in the sample"] = ni_study
+    log.summary["number of total individuals in the reference"] = ni_ref
+    log.summary["number of variance components"] = n_vc
+    log.extra.append("pve estimates = " +
+                     "".join(f"  {v:.6g}" for v in res.pve))
+    log.extra.append("se(pve) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_pve))
+    log.extra.append("sigma2 per snp = " +
+                     "".join(f"  {v:.6g}" for v in res.sigma2persnp))
+    log.extra.append("se(sigma2 per snp) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_sigma2persnp))
+    log.extra.append("enrichment = " +
+                     "".join(f"  {v:.6g}" for v in res.enrich))
+    log.extra.append("se(enrichment) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_enrich))
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return res
 
 
 def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
@@ -977,7 +1036,9 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     elif cfg.a_mode in (51, 52, 53, 54):
         run_lm(cfg, log)
     elif cfg.a_mode in (61, 62, 63):
-        if cfg.file_beta:
+        if cfg.file_study and cfg.file_ref:
+            run_vc_study_ref(cfg, log)
+        elif cfg.file_beta:
             run_vc_summary(cfg, log)
         else:
             run_vc(cfg, log)
@@ -993,7 +1054,9 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
         run_predict(cfg, log)
     elif cfg.a_mode == 43:
         run_predict43(cfg, log)
-    elif cfg.a_mode == 71:
+    elif cfg.a_mode in (71, 72):
+        # mode 72 (-gw, "LDSC weights") runs the same windowed
+        # correlation analysis in the reference (gemma.cpp:1928-1945)
         run_calccor(cfg, log)
     else:
         raise NotImplementedError(f"analysis mode {cfg.a_mode} not yet "

@@ -142,3 +142,9 @@ def test_gs_gq_vc_cli(tmp_path):
     res = run_vc_summary(parse_args(
         (common + f" -beta {betaf} -vc 1 -o vcs").split()))
     assert 0.25 < res.pve[0] < 0.75
+
+    # the -study/-ref path composes the files written by -gq and -gs
+    from gemma_tpu.run import run_vc_study_ref
+    res2 = run_vc_study_ref(parse_args(
+        f"-study {out}/q -ref {out}/s -vc 1 -o vsr -outdir {out}".split()))
+    np.testing.assert_allclose(res2.pve[0], res.pve[0], rtol=1e-6)
