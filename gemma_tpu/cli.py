@@ -53,8 +53,12 @@ def parse_args(argv: list) -> GemmaConfig:
         a = argv[i]
         if a in ("-g",):
             cfg.file_geno = take()
-        elif a in ("-bfile", "--bfile"):
+        elif a in ("-bfile", "--bfile", "-b"):
             cfg.file_bfile = take()
+        elif a == "-mg":
+            cfg.file_mgeno = take()
+        elif a in ("-mbfile", "--mbfile", "-mb"):
+            cfg.file_mbfile = take()
         elif a == "-p":
             cfg.file_pheno = take()
         elif a == "-a":
@@ -93,10 +97,30 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.file_gene = take()
         elif a == "-cat":
             cfg.file_cat = take()
+        elif a == "-mcat":
+            cfg.file_mcat = take()
+        elif a == "-catc":
+            cfg.file_catc = take()
+        elif a == "-mcatc":
+            cfg.file_mcatc = take()
+        elif a == "-wsnp":
+            cfg.file_wsnp = take()
+        elif a == "-wcat":
+            cfg.file_wcat = take()
         elif a == "-study":
             cfg.file_study = take()
         elif a == "-ref":
             cfg.file_ref = take()
+        elif a == "-mstudy":
+            cfg.file_mstudy = take()
+        elif a == "-mref":
+            cfg.file_mref = take()
+        elif a == "-r":
+            cfg.file_read = take()
+        elif a == "-en":
+            cfg.est_column = tuple(int(v) for v in take_multi())
+        elif a == "-pve":
+            cfg.v_pve = tuple(float(v) for v in take_multi())
         elif a == "-hyp":
             cfg.file_hyp = take()
         elif a == "-bf":
@@ -124,7 +148,7 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.a_mode = 20 + cfg.gk_mode
         elif a == "-eigen":
             cfg.a_mode = 31
-        elif a == "-lmm":
+        elif a in ("-lmm", "-fa"):
             cfg.a_mode = int(take(default="1"))
         elif a == "-lm":
             cfg.a_mode = 50 + int(take(default="1"))
@@ -197,7 +221,19 @@ def parse_args(argv: list) -> GemmaConfig:
         elif a == "-seed":
             cfg.seed = int(take())
         elif a == "-nind":
+            cfg.ni_max = int(take())
+        elif a == "-sample":
             cfg.ni_subsample = int(take())
+        elif a == "-pace":
+            cfg.d_pace = int(take())
+        elif a == "-noconstrain":
+            cfg.noconstrain = True
+        elif a == "-hscale":
+            cfg.h_scale = float(take())
+        elif a == "-rscale":
+            cfg.rho_scale = float(take())
+        elif a == "-pscale":
+            cfg.logp_scale = float(take())
         elif a == "-windowbp":
             cfg.window_bp = float(take())
         elif a == "-windowcm":
@@ -210,8 +246,12 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.check = True
         elif a in ("-no-check", "-nocheck"):
             cfg.check = False
-        elif a in ("-debug", "-debug-data"):
+        elif a in ("-debug", "-debug-data", "-debug-dump"):
             cfg.debug = True
+        elif a == "-ldr":
+            raise NotImplementedError(
+                "-ldr is vestigial in GEMMA (LDR::VB never defined, "
+                "ldr.h:65) and deliberately not built")
         elif a in ("-silence", "--quiet", "-strict", "-no-fpe-check",
                    "-legacy", "-issue"):
             if a == "-issue":

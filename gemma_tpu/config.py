@@ -56,6 +56,16 @@ class GemmaConfig:
     file_ref: str = ""         # -ref (prefix of .S/.size)
     file_hyp: str = ""         # -hyp (DAP hyper grid file)
     file_bf: str = ""          # -bf (DAP Bayes factor file)
+    file_mgeno: str = ""       # -mg (list of BIMBAM genotype files)
+    file_mbfile: str = ""      # -mbfile (list of PLINK prefixes)
+    file_mcat: str = ""        # -mcat (list of category files)
+    file_catc: str = ""        # -catc (continuous categories)
+    file_mcatc: str = ""       # -mcatc (list of continuous category files)
+    file_wsnp: str = ""        # -wsnp (per-SNP weights for MQS)
+    file_wcat: str = ""        # -wcat (per-category weight vectors)
+    file_mstudy: str = ""      # -mstudy (list of -study prefixes)
+    file_mref: str = ""        # -mref (list of -ref prefixes)
+    file_read: str = ""        # -r (total read counts for -gene)
 
     # phenotype columns (-n, 1-based)
     p_columns: Sequence[int] = (1,)
@@ -82,7 +92,8 @@ class GemmaConfig:
     loco: str = ""              # -loco chromosome
 
     # LOCO / subsetting
-    ni_subsample: int = 0       # -nind
+    ni_max: int = 0             # -nind (truncate to first N analyzed)
+    ni_subsample: int = 0       # -sample (random subsample of N)
     seed: int = -1              # -seed (used for subsampling, MCMC)
 
     # mvLMM
@@ -111,8 +122,13 @@ class GemmaConfig:
     w_pace: int = 1000
     n_mh: int = 10
     geo_mean: float = 2000.0
+    h_scale: float = -1.0       # -hscale (MH proposal step for h)
+    rho_scale: float = -1.0     # -rscale
+    logp_scale: float = -1.0    # -pscale (input in log10 units)
 
     # VC
+    noconstrain: bool = False   # -noconstrain: REML in sigma2 space
+    v_pve: Sequence[float] = () # -pve (point estimates for -ci)
     window_bp: float = 0.0
     window_cm: float = 0.0
     window_ns: float = 0.0
@@ -126,6 +142,8 @@ class GemmaConfig:
     block_size: int = 4096      # SNPs per device batch
     check: bool = True
     debug: bool = False
+    d_pace: int = 100000        # -pace progress stride
+    est_column: Sequence[int] = ()  # -en columns in -epm file
 
     def __post_init__(self):
         if self.notsnp:

@@ -135,7 +135,22 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
         weights_all, ind_w = read_weights(cfg.file_weight)
         indicator_idv &= ind_w
 
-    indicator_idv = _trim_individuals(indicator_idv, cfg.ni_subsample)
+    indicator_idv = _trim_individuals(indicator_idv, cfg.ni_max)
+
+    # -sample: random subsample of the analyzed individuals, order
+    # preserved (param.cpp:2040-2070; gsl_ran_choose keeps file order).
+    # Deviation: numpy RNG stream, not GSL's — fixed -seed still gives
+    # a reproducible subset.
+    if cfg.ni_subsample:
+        test_idx = np.flatnonzero(indicator_idv)
+        if len(test_idx) < cfg.ni_subsample:
+            raise ValueError(
+                f"ni_test={len(test_idx)} smaller than -sample "
+                f"{cfg.ni_subsample}")
+        rng = np.random.default_rng(cfg.seed if cfg.seed >= 0 else None)
+        keep = rng.choice(len(test_idx), cfg.ni_subsample, replace=False)
+        drop = np.setdiff1d(np.arange(len(test_idx)), keep)
+        indicator_idv[test_idx[drop]] = False
 
     if indicator_idv.sum() == 0:
         raise ValueError("number of analyzed individuals equals 0")

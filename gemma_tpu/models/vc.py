@@ -253,3 +253,99 @@ def vc_reml_ai(K_stack: np.ndarray, W: np.ndarray, y: np.ndarray,
     return VcResult(sigma2=np.asarray(sigma2), se_sigma2=se_sigma2,
                     pve=pve, se_pve=se_pve, pve_total=pve_total,
                     se_pve_total=se_pve_total)
+
+
+# ---------------------------------------------------------------------------
+# ACL estimator (-vc 3)
+
+@jax.jit
+def _acl_moments(K_stack, W, y):
+    """Device moments for the ACL fixed point (CalcVCacl vc.cpp:1933-2052).
+
+    Each kinship is W-projected then correlation-standardized (diagonal
+    forced to 1); y is W-residualized.  Returns the q vector, the S1/S2
+    moment matrices and the per-individual colsum tensor n1[i, j, t] =
+    sum_s (Ks_i ∘ Ks_j)[s, t] - 1 that both feed the h fixed point and
+    the A matrices of the variance formula."""
+    def prep(K):
+        Kc = center_matrix_w(K, W)
+        dd = jnp.diag(Kc)
+        Ks = Kc / jnp.sqrt(jnp.outer(dd, dd))
+        n = K.shape[0]
+        return jnp.where(jnp.eye(n, dtype=bool), 1.0, Ks)
+
+    Ks = jax.vmap(prep)(K_stack)                     # (m, n, n)
+    y_s = center_vector_w(y, W)
+    y2 = y_s * y_s
+    y2_sum = jnp.sum(y2)
+
+    q = jnp.einsum("mij,i,j->m", Ks, y_s, y_s) - y2_sum
+
+    # n1[i, j, t] = colsums(Ks_i ∘ Ks_j)[t] - 1
+    n1 = jnp.einsum("ita,jta->ija", Ks, Ks) - 1.0    # (m, m, n)
+    S1 = 2.0 * jnp.einsum("ijt,t->ij", n1, y2)
+    S2 = jnp.sum(n1, axis=2)
+    return Ks, y_s, y2, y2_sum, q, n1, S1, S2
+
+
+@jax.jit
+def _acl_variance(Ks, y_s, n1, pve, tau_inv):
+    """J matrix for the ACL sampling variance: A_i is Ks_i with its
+    diagonal replaced by sum_j pve_j n1[i, j, :]; V = tau_inv sum_i
+    pve_i Ks_i; J_ij = 2 Ay_i' V Ay_j (vc.cpp:2080-2124)."""
+    m, n, _ = Ks.shape
+    diag_new = jnp.einsum("ijt,j->it", n1, pve)           # (m, n)
+    eye = jnp.eye(n, dtype=Ks.dtype)
+    A = Ks * (1.0 - eye) + jnp.einsum("it,tu->itu", diag_new, eye)
+    Ay = jnp.einsum("itu,u->it", A, y_s)                   # (m, n)
+    V = tau_inv * jnp.einsum("i,itu->tu", pve, Ks)
+    J = 2.0 * jnp.einsum("it,tu,ju->ij", Ay, V, Ay)
+    return J
+
+
+def vc_acl(K_stack: np.ndarray, W: np.ndarray, y: np.ndarray,
+           v_traceG: np.ndarray, max_iter: int = 100,
+           tol: float = 1e-3) -> VcResult:
+    """ACL method-of-moments estimator (CalcVCacl, vc.cpp:1933-2220):
+    alternate between tau_inv = var(y) - q'h/(n(n-1)) and the moment
+    solve h = (S1 - tau_inv S2)^{-1} q until the relative change in
+    tau_inv falls below 1e-3."""
+    m, n, _ = K_stack.shape
+    Ks, y_s, y2, y2_sum, q, n1, S1, S2 = _acl_moments(
+        jnp.asarray(K_stack), jnp.asarray(W), jnp.asarray(y))
+    q_np = np.asarray(q)
+    S1_np, S2_np = np.asarray(S1), np.asarray(S2)
+    y2s = float(y2_sum)
+
+    # first loop pass overwrites the pre-loop tau_inv with the
+    # pve=0 value y2_sum/n (the reference's pve vector starts zeroed)
+    pve = np.zeros(m)
+    tau_inv = y2s / n
+    s_rel = 1.0
+    for it in range(max_iter):
+        d = float(q_np @ pve)
+        tau_new = y2s / n - d / (n * (n - 1.0))
+        if it > 0:
+            s_rel = (tau_new - tau_inv) / tau_new
+        tau_inv = tau_new
+        S = S1_np - tau_inv * S2_np
+        pve = np.linalg.solve(S, q_np)
+        if it > 0 and abs(s_rel) <= tol:
+            break
+
+    J = np.asarray(_acl_variance(Ks, y_s, n1, jnp.asarray(pve),
+                                 jnp.asarray(tau_inv)))
+    Hi = np.linalg.inv(S2_np * tau_inv)
+    Var = Hi @ J @ Hi
+
+    pve_total = float(np.sum(pve))
+    se_pve = np.sqrt(np.maximum(np.diag(Var), 0.0))
+    sigma2 = np.concatenate([pve * tau_inv / np.asarray(v_traceG),
+                             [(1.0 - pve_total) * tau_inv]])
+    var_sum = float(np.sum(Var))
+    se_sigma2 = np.concatenate([se_pve * tau_inv / np.asarray(v_traceG),
+                                [np.sqrt(max(var_sum, 0.0)) * tau_inv]])
+    return VcResult(sigma2=sigma2, se_sigma2=se_sigma2,
+                    pve=np.asarray(pve), se_pve=se_pve,
+                    pve_total=pve_total,
+                    se_pve_total=float(np.sqrt(max(var_sum, 0.0))))

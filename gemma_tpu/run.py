@@ -596,7 +596,7 @@ def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
 
 def run_vc(cfg: GemmaConfig, log: RunLog | None = None):
     from gemma_tpu.io.readers import read_multi_kinship
-    from gemma_tpu.models.vc import vc_he, vc_reml_ai
+    from gemma_tpu.models.vc import vc_he, vc_reml_ai, vc_acl
 
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg, need_geno=False)
@@ -622,9 +622,10 @@ def run_vc(cfg: GemmaConfig, log: RunLog | None = None):
     if cfg.a_mode == 61:
         res = vc_he(Kc, ds.W, y, v_traceG)
     elif cfg.a_mode == 62:
-        res = vc_reml_ai(Kc, ds.W, y, v_traceG)
+        res = vc_reml_ai(Kc, ds.W, y, v_traceG,
+                         noconstrain=cfg.noconstrain)
     else:
-        raise NotImplementedError("-vc 3 (ACL) not yet implemented")
+        res = vc_acl(Kc, ds.W, y, v_traceG)
 
     log.summary["number of total individuals"] = ds.ni_total
     log.summary["number of analyzed individuals"] = ds.ni_test
@@ -768,7 +769,11 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
         rho_max=cfg.rho_max, logp_min=cfg.logp_min, logp_max=cfg.logp_max,
         geo_mean=cfg.geo_mean, w_step=cfg.w_step, s_step=cfg.s_step,
         r_pace=cfg.r_pace, w_pace=cfg.w_pace,
-        n_mh=1 if cfg.a_mode == 11 else cfg.n_mh, a_mode=cfg.a_mode)
+        n_mh=1 if cfg.a_mode == 11 else cfg.n_mh, a_mode=cfg.a_mode,
+        h_scale=cfg.h_scale, rho_scale=cfg.rho_scale,
+        # -pscale input is in log10 units (gemma.cpp:1509)
+        logp_scale=(cfg.logp_scale * np.log(10.0)
+                    if cfg.logp_scale != -1 else -1.0))
 
     # initial values (InitialMCMC, bslmm.cpp:367-448)
     q_genome = scipy.stats.chi2.isf(0.05 / ns_test, 1)

@@ -102,3 +102,51 @@ def test_vc_cli_end_to_end(tmp_path):
     res = run_vc(cfg)
     assert 0 < res.pve[0] < 1
     assert os.path.exists(f"{out}/vc.log.txt")
+
+
+def test_acl_recovers_heritability():
+    from gemma_tpu.models.vc import vc_acl
+    K, W, y = _simulate(h2=0.5, seed=5)
+    Kc = np.asarray(center_matrix(jnp.asarray(K)))
+    v_traceG = np.array([np.mean(np.diag(Kc))])
+    res = vc_acl(Kc[None], W, y, v_traceG)
+    # ACL is method-of-moments like HE; on the same data the two
+    # estimates must agree to sampling noise and both bracket h2
+    he = vc_he(Kc[None], W, y, v_traceG)
+    assert 0.25 < res.pve[0] < 0.75
+    assert abs(res.pve[0] - he.pve[0]) < 0.15
+    assert res.se_pve[0] > 0
+    assert len(res.sigma2) == 2
+    assert res.sigma2[1] > 0          # residual variance
+
+
+def test_acl_two_components():
+    from gemma_tpu.models.vc import vc_acl
+    rng = np.random.default_rng(7)
+    n = 250
+    K1, W, _ = _simulate(n=n, seed=8)
+    K2, _, _ = _simulate(n=n, seed=9)
+    K1c = np.asarray(center_matrix(jnp.asarray(K1)))
+    K2c = np.asarray(center_matrix(jnp.asarray(K2)))
+    L1 = np.linalg.cholesky(K1c + 1e-6 * np.eye(n))
+    L2 = np.linalg.cholesky(K2c + 1e-6 * np.eye(n))
+    y = (L1 @ rng.normal(size=n) * np.sqrt(0.4)
+         + L2 @ rng.normal(size=n) * np.sqrt(0.2)
+         + rng.normal(size=n) * np.sqrt(0.4))
+    v_traceG = np.array([np.mean(np.diag(K1c)), np.mean(np.diag(K2c))])
+    res = vc_acl(np.stack([K1c, K2c]), W, y, v_traceG)
+    assert len(res.pve) == 2
+    assert len(res.sigma2) == 3
+    assert np.all(np.isfinite(res.se_pve))
+    assert 0.0 < res.pve_total < 1.0
+
+
+def test_reml_noconstrain_matches_constrained():
+    K, W, y = _simulate(h2=0.4, seed=11)
+    Kc = np.asarray(center_matrix(jnp.asarray(K)))
+    v_traceG = np.array([np.mean(np.diag(Kc))])
+    res_c = vc_reml_ai(Kc[None], W, y, v_traceG, noconstrain=False)
+    res_u = vc_reml_ai(Kc[None], W, y, v_traceG, noconstrain=True)
+    # interior optimum: both parameterizations find the same root
+    np.testing.assert_allclose(res_u.pve[0], res_c.pve[0], atol=5e-3)
+    np.testing.assert_allclose(res_u.sigma2, res_c.sigma2, rtol=2e-2)
