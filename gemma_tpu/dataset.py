@@ -21,7 +21,7 @@ from gemma_tpu.io.readers import (
     read_weights,
 )
 from gemma_tpu.io.qc import run_qc, QcResult
-from gemma_tpu.io.tables import GenotypeData
+from gemma_tpu.io.tables import GenotypeData, SnpTable
 
 
 @dataclasses.dataclass
@@ -86,13 +86,58 @@ def _trim_individuals(ind: np.ndarray, ni_max: int) -> np.ndarray:
     return out
 
 
+def _concat_geno(parts: list) -> GenotypeData:
+    """Concatenate per-file GenotypeData along the SNP axis (the
+    mindicator_snp/msnpInfo multi-file model, param.cpp ReadFiles for
+    -mg/-mbfile).  Per-SNP QC commutes with concatenation, so the
+    merged table behaves exactly like per-file indicator vectors."""
+    snps = SnpTable(
+        chr=np.concatenate([p.snps.chr for p in parts]),
+        rs=np.concatenate([p.snps.rs for p in parts]),
+        cM=np.concatenate([p.snps.cM for p in parts]),
+        pos=np.concatenate([p.snps.pos for p in parts]),
+        a_minor=np.concatenate([p.snps.a_minor for p in parts]),
+        a_major=np.concatenate([p.snps.a_major for p in parts]),
+    )
+    return GenotypeData(snps=snps, X=np.vstack([p.X for p in parts]))
+
+
+def _read_list_file(path: str) -> list:
+    with open(path) as fh:
+        return [ln.strip() for ln in fh if ln.strip()]
+
+
 def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
                  need_geno: bool = True) -> Dataset:
     ids = None
     is_plink = False
     geno = None
 
-    if cfg.file_bfile:
+    if cfg.file_mbfile or cfg.file_mgeno:
+        # -mbfile / -mg: list of genotype files sharing the individual
+        # axis, concatenated along the SNP axis
+        parts = []
+        if cfg.file_mbfile:
+            is_plink = True
+            fam_pheno = None
+            for prefix in _read_list_file(cfg.file_mbfile):
+                g, ids, fam_pheno = read_plink(prefix, tuple(cfg.p_columns))
+                parts.append(g)
+            pheno = fam_pheno
+            if cfg.file_pheno:
+                pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
+        else:
+            for path in _read_list_file(cfg.file_mgeno):
+                parts.append(read_bimbam_genotypes(path))
+            pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
+        n_ind = {p.n_individuals for p in parts}
+        if len(n_ind) != 1:
+            raise ValueError("-mg/-mbfile genotype files disagree on the "
+                             f"number of individuals: {sorted(n_ind)}")
+        geno = _concat_geno(parts)
+        if cfg.file_anno:
+            annotate_snps(geno.snps, read_anno(cfg.file_anno))
+    elif cfg.file_bfile:
         is_plink = True
         geno, ids, fam_pheno = read_plink(cfg.file_bfile,
                                           tuple(cfg.p_columns))

@@ -496,20 +496,21 @@ def run_vc_study_ref(cfg: GemmaConfig, log: RunLog | None = None):
     """-vc with -study/-ref: solve S pve = q from precomputed MQS
     files (the outputs of -gq and -gs; gemma.cpp:2231-2312)."""
     from gemma_tpu.models.mqs import calc_vc_ss
+    from gemma_tpu.models.ci import (read_study, read_mstudy, read_ref,
+                                     read_mref)
     log = log or RunLog(argv=["gemma-tpu"])
 
-    s_study_full = np.loadtxt(cfg.file_study + ".size.txt")
-    n_vc = len(np.atleast_1d(s_study_full)) - 1
-    s_study = np.atleast_1d(s_study_full)[:n_vc]
-    ni_study = int(np.atleast_1d(s_study_full)[n_vc])
-    q = np.atleast_1d(np.loadtxt(cfg.file_study + ".q.txt"))[:n_vc]
-    Vq = np.loadtxt(cfg.file_study + ".Vq.txt").reshape(n_vc, n_vc)
+    if cfg.file_study:
+        Vq, q, s_study, ni_study = read_study(cfg.file_study)
+    else:
+        Vq, q, s_study, ni_study = read_mstudy(cfg.file_mstudy)
+    n_vc = len(s_study)
 
-    s_ref_full = np.atleast_1d(np.loadtxt(cfg.file_ref + ".size.txt"))
-    s_ref = s_ref_full[:n_vc]
-    ni_ref = int(s_ref_full[n_vc])
-    Sfull = np.loadtxt(cfg.file_ref + ".S.txt").reshape(2 * n_vc, n_vc)
-    S, Svar = Sfull[:n_vc], Sfull[n_vc:]
+    if cfg.file_ref:
+        S, Svar, s_ref, ni_ref = read_ref(cfg.file_ref)
+    else:
+        S, Svar, s_ref, ni_ref = read_mref(cfg.file_mref)
+    Sfull = np.vstack([S, Svar])
 
     res = calc_vc_ss(Vq, S, Svar, q, s_study, float(ni_study))
 
@@ -589,6 +590,102 @@ def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
                      "".join(f"  {v:.6g}" for v in res.se_enrich))
     log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
     return res
+
+
+def run_ci(cfg: GemmaConfig, log: RunLog | None = None):
+    """-ci 1/2 (modes 66/67): standard errors for MQS pve estimates
+    from a reference panel and study z-scores (gemma.cpp:2400-2560)."""
+    from gemma_tpu.models.ci import (
+        read_ref, read_mref, read_wsnp, read_wcat, read_signed_beta,
+        read_beta_rs_set, obtain_weight, update_weight, update_snp_z,
+        standardized_genotypes, xwz_passes, calc_ci_ss)
+
+    log = log or RunLog(argv=["gemma-tpu"])
+    ds = load_dataset(cfg)
+
+    rs2cat, n_vc = (None, 1)
+    if cfg.file_cat or cfg.file_mcat:
+        rs2cat, n_vc = read_categories_multi(cfg)
+    if len(cfg.v_pve) != n_vc:
+        raise ValueError(f"-ci requires -pve with {n_vc} values "
+                         f"(one per variance component)")
+
+    if cfg.file_ref:
+        S, Svar, s_ref, ni_ref = read_ref(cfg.file_ref)
+    elif cfg.file_mref:
+        S, Svar, s_ref, ni_ref = read_mref(cfg.file_mref)
+    else:
+        raise ValueError("-ci requires -ref or -mref")
+
+    rs2wsnp = read_wsnp(cfg.file_wsnp) if cfg.file_wsnp else None
+    rs2wcat = read_wcat(cfg.file_wcat, n_vc) if cfg.file_wcat else None
+    if cfg.a_mode == 67 and rs2wcat is None:
+        raise ValueError("-ci 2 requires -wcat weights")
+
+    setSnps_beta = read_beta_rs_set(cfg.file_beta)
+    qc_rs = ds.geno.snps.rs[ds.qc.indicator_snp]
+    wK = obtain_weight(qc_rs, setSnps_beta, rs2cat, rs2wsnp, rs2wcat)
+
+    # per-category SNP counts over the common set (gemma.cpp:2447-2459)
+    s_vec = np.zeros(n_vc)
+    for rs in wK:
+        s_vec[rs2cat[rs] if rs2cat is not None else 0] += 1
+
+    if cfg.a_mode == 66:
+        wA = {rs: 1.0 for rs in wK}
+    else:
+        wA = update_weight(0, wK, ds.ni_test, s_vec, cfg.v_pve,
+                           rs2cat, rs2wcat)
+
+    rs2z, rs2a1 = read_signed_beta(cfg.file_beta, keep=set(wA))
+    keep_idx, w, z, cat = update_snp_z(
+        ds.geno.snps.rs, ds.geno.snps.a_minor, ds.qc.indicator_snp,
+        wA, rs2a1, rs2z, rs2cat)
+
+    with log.timer.phase("kinship"):
+        Xs = standardized_genotypes(ds.geno.X[keep_idx][:, ds.indicator_idv])
+        # mode 66 uses unit weights for XWz too (gemma.cpp:2497-2498)
+        Xz, XWz, XtXWz = xwz_passes(
+            Xs, np.ones_like(w) if cfg.a_mode == 66 else w, z, cat, n_vc)
+
+    res = calc_ci_ss(Xz, XWz, XtXWz, S, Svar, w, z, s_vec, cat,
+                     np.asarray(cfg.v_pve))
+
+    ensure_outdir(cfg.path_out)
+    log.summary["number of total individuals"] = ds.ni_total
+    log.summary["number of analyzed individuals"] = ds.ni_test
+    log.summary["number of analyzed SNPs/var"] = len(keep_idx)
+    log.summary["number of variance components"] = n_vc
+    log.extra.append("pve estimates = " +
+                     "".join(f"  {v:.6g}" for v in res.pve))
+    log.extra.append("se(pve) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_pve))
+    log.extra.append("sigma2 per snp = " +
+                     "".join(f"  {v:.6g}" for v in res.sigma2persnp))
+    log.extra.append("se(sigma2 per snp) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_sigma2persnp))
+    log.extra.append("enrichment = " +
+                     "".join(f"  {v:.6g}" for v in res.enrich))
+    log.extra.append("se(enrichment) = " +
+                     "".join(f"  {v:.6g}" for v in res.se_enrich))
+    log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+    return res
+
+
+def read_categories_multi(cfg: GemmaConfig):
+    """-cat or -mcat (list of cat files, first occurrence wins,
+    n_vc = max; ReadFile_mcat gemma_io.cpp)."""
+    from gemma_tpu.models.mqs import read_categories
+    if cfg.file_cat:
+        return read_categories(cfg.file_cat)
+    rs2cat, n_vc = {}, 1
+    with open(cfg.file_mcat) as fh:
+        for t, line in enumerate(ln.strip() for ln in fh if ln.strip()):
+            sub, nv = read_categories(line)
+            for rs, c in sub.items():
+                rs2cat.setdefault(rs, c)
+            n_vc = nv if t == 0 else max(n_vc, nv)
+    return rs2cat, n_vc
 
 
 # ---------------------------------------------------------------------------
@@ -1040,8 +1137,11 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
             run_mvlmm(cfg, log)
     elif cfg.a_mode in (51, 52, 53, 54):
         run_lm(cfg, log)
+    elif cfg.a_mode in (66, 67):
+        run_ci(cfg, log)
     elif cfg.a_mode in (61, 62, 63):
-        if cfg.file_study and cfg.file_ref:
+        if (cfg.file_study or cfg.file_mstudy) and \
+                (cfg.file_ref or cfg.file_mref):
             run_vc_study_ref(cfg, log)
         elif cfg.file_beta:
             run_vc_summary(cfg, log)
