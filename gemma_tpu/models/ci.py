@@ -228,15 +228,20 @@ def obtain_weight(rs_iter, setSnps_beta: set, rs2cat: dict | None,
 
 
 def update_weight(pve_flag: int, wK: dict, ni_test: int, ns: np.ndarray,
-                  v_pve, rs2cat: dict | None, rs2wcat: dict) -> dict:
+                  v_pve, rs2cat: dict | None,
+                  rs2wcat: dict | None) -> dict:
     """mapRS2wA, the LDSC-style per-SNP weights 1/d² with
     d = 1 + sum_i (n/ns_i) wcat_i pve_i, normalized to mean one per
-    category (UpdateWeight, param.cpp:2300-2351)."""
+    category (UpdateWeight, param.cpp:2300-2351).
+
+    Without -wcat the reference indexes an empty map (undefined
+    behaviour, param.cpp:2317); here missing LD scores default to 1."""
     wA = {}
+    ones = np.ones(len(ns))
     v_pve = np.asarray(v_pve, dtype=float)
     for rs in wK:
         d = 1.0
-        wc = rs2wcat[rs]
+        wc = rs2wcat[rs] if rs2wcat is not None else ones
         for i in range(len(ns)):
             if pve_flag == 1 and v_pve[i] >= 1:
                 d += ni_test / ns[i] * wc[i]

@@ -369,15 +369,27 @@ def jackknife_ak_to_s(A: np.ndarray, K: np.ndarray, n_cvt: int,
 
 
 def calc_s(X_raw: np.ndarray, W: np.ndarray, cats: np.ndarray, n_vc: int,
-           weights: np.ndarray | None = None):
+           weights: np.ndarray | None = None,
+           weights_a: np.ndarray | None = None):
     """CalcS (param.cpp:1717-1809): per-category kinships → center +
-    scale → S and jackknife Svar.  Returns (S, Svar, ns)."""
+    scale → S and jackknife Svar.  Returns (S, Svar, ns).
+
+    `weights` builds the K stack (mapRS2wK); `weights_a`, when given,
+    builds a separately-weighted A stack (mapRS2wA, the LDSC second
+    pass of -vc 2 with summary stats) — otherwise A = K."""
     Kstack, ns = category_kinship(X_raw, W, cats, n_vc, weights)
     Kc = np.stack([
         np.asarray(scale_matrix(center_matrix(jnp.asarray(Ki))))
         for Ki in Kstack])
-    S = comp_ak_to_s(Kc, Kc, W.shape[1])
-    S, Svar = jackknife_ak_to_s(Kc, Kc, W.shape[1], S)
+    if weights_a is None:
+        Ac = Kc
+    else:
+        Astack, _ = category_kinship(X_raw, W, cats, n_vc, weights_a)
+        Ac = np.stack([
+            np.asarray(scale_matrix(center_matrix(jnp.asarray(Ai))))
+            for Ai in Astack])
+    S = comp_ak_to_s(Ac, Kc, W.shape[1])
+    S, Svar = jackknife_ak_to_s(Ac, Kc, W.shape[1], S)
     return S, Svar, ns
 
 

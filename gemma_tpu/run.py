@@ -433,10 +433,9 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
 def _snp_categories(ds: Dataset, cfg: GemmaConfig):
     """(cats per QC-passing SNP in file order, n_vc, rs2cat or None)."""
-    from gemma_tpu.models.mqs import read_categories
     idx = np.flatnonzero(ds.qc.indicator_snp)
-    if cfg.file_cat:
-        rs2cat, n_vc = read_categories(cfg.file_cat)
+    if cfg.file_cat or cfg.file_mcat:
+        rs2cat, n_vc = read_categories_multi(cfg)
         cats = np.array([rs2cat.get(ds.geno.snps.rs[i], -1) for i in idx],
                         dtype=np.int64)
         return idx, cats, n_vc, rs2cat
@@ -542,27 +541,52 @@ def run_vc_study_ref(cfg: GemmaConfig, log: RunLog | None = None):
 
 def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
     """-vc with -beta: MQS estimation — q from the summary file, S from
-    the reference genotypes, then solve S pve = q
+    the reference genotypes, then solve S pve = q; -vc 2 runs a second
+    pass with LDSC weights built from the first-pass pve
     (gemma.cpp:2102-2230)."""
-    from gemma_tpu.models.mqs import (read_beta_summary, read_categories,
-                                      calcq, calc_s, calc_vc_ss)
+    from gemma_tpu.models.mqs import (read_beta_summary, calcq, calc_s,
+                                      calc_vc_ss)
+    from gemma_tpu.models.ci import (read_beta_rs_set, read_wsnp,
+                                     read_wcat, obtain_weight,
+                                     update_weight)
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
     idx, cats, n_vc, rs2cat = _snp_categories(ds, cfg)
 
-    beta = read_beta_summary(cfg.file_beta, rs2cat=rs2cat)
+    # common SNP set + wK weights (ObtainWeight, gemma.cpp:2110-2117)
+    rs2wsnp = read_wsnp(cfg.file_wsnp) if cfg.file_wsnp else None
+    rs2wcat = read_wcat(cfg.file_wcat, n_vc) if cfg.file_wcat else None
+    setSnps_beta = read_beta_rs_set(cfg.file_beta)
+    qc_rs = [ds.geno.snps.rs[i] for i in idx]
+    wK = obtain_weight(qc_rs, setSnps_beta, rs2cat, rs2wsnp, rs2wcat)
+
+    beta = read_beta_summary(cfg.file_beta, rs2cat=rs2cat, rs2w=wK)
     Vq, q, s = calcq(cfg.n_block, beta.cat, beta.ni, beta.weight,
                      beta.z2, n_vc)
 
-    # restrict the reference SNPs to those present in the beta file
-    beta_set = set(beta.rs)
-    in_beta = np.array([ds.geno.snps.rs[i] in beta_set for i in idx])
-    cats_used = np.where(in_beta, cats, -1)
+    in_common = np.array([rs in wK for rs in qc_rs])
+    cats_used = np.where(in_common, cats, -1)
+    wK_arr = np.array([wK.get(rs, 0.0) for rs in qc_rs])
     X = ds.geno.X[idx][:, ds.indicator_idv]
     with log.timer.phase("kinship"):
-        S, Svar, ns = calc_s(X, ds.W, cats_used, n_vc)
+        S, Svar, ns = calc_s(X, ds.W, cats_used, n_vc,
+                             weights=wK_arr if rs2wsnp else None)
 
     res = calc_vc_ss(Vq, S, Svar, q, s, float(beta.ni_total))
+
+    if cfg.a_mode == 62:
+        # LDSC-weighted second pass (gemma.cpp:2183-2212)
+        wA = update_weight(1, wK, beta.ni_total, s, res.pve,
+                           rs2cat, rs2wcat)
+        beta = read_beta_summary(cfg.file_beta, rs2cat=rs2cat, rs2w=wA)
+        Vq, q, s = calcq(cfg.n_block, beta.cat, beta.ni, beta.weight,
+                         beta.z2, n_vc)
+        wA_arr = np.array([wA.get(rs, 0.0) for rs in qc_rs])
+        with log.timer.phase("kinship"):
+            S, Svar, ns = calc_s(X, ds.W, cats_used, n_vc,
+                                 weights=wK_arr if rs2wsnp else None,
+                                 weights_a=wA_arr)
+        res = calc_vc_ss(Vq, S, Svar, q, s, float(beta.ni_total))
 
     ensure_outdir(cfg.path_out)
     write_matrix(f"{cfg.out_prefix()}.S.txt", np.vstack([S, Svar]))

@@ -162,3 +162,35 @@ def test_mstudy_mref_pooling(tmp_path):
     np.testing.assert_allclose(S2, S0 / 2)
     np.testing.assert_allclose(Sv2, Sv0 / 8)
     np.testing.assert_allclose(sr2, 2 * sr0)
+
+
+def test_vc2_ldsc_second_pass(tmp_path):
+    """-vc 2 with -beta runs the LDSC-weighted second pass
+    (gemma.cpp:2183-2212): estimates stay near -vc 1's on homogeneous
+    data (weights normalize to ~one), but the passes are distinct."""
+    geno, pheno, betaf = _write_dataset(tmp_path, seed=13)
+    base = ["-g", str(geno), "-p", str(pheno), "-beta", str(betaf),
+            "-outdir", str(tmp_path)]
+    res1 = run_vc_summary(parse_args(base + ["-vc", "1", "-o", "v1"]))
+    res2 = run_vc_summary(parse_args(base + ["-vc", "2", "-o", "v2"]))
+    assert np.isfinite(res2.pve[0])
+    assert np.isfinite(res2.se_pve[0])
+    # same underlying quantity; weighting shifts it only slightly here
+    assert abs(res2.pve[0] - res1.pve[0]) < 0.25
+
+
+def test_vc_summary_wsnp_weights(tmp_path):
+    """-wsnp per-SNP weights flow into both q and S; constant weights
+    are a no-op because ObtainWeight normalizes to mean one."""
+    geno, pheno, betaf = _write_dataset(tmp_path, n=120, p=150, seed=17)
+    wsnp = tmp_path / "wsnp.txt"
+    with open(wsnp, "w") as fh:
+        for j in range(150):
+            fh.write(f"rs{j}\t2.5\n")
+    base = ["-g", str(geno), "-p", str(pheno), "-beta", str(betaf),
+            "-outdir", str(tmp_path)]
+    res0 = run_vc_summary(parse_args(base + ["-vc", "1", "-o", "w0"]))
+    res1 = run_vc_summary(parse_args(base + ["-vc", "1", "-o", "w1",
+                                             "-wsnp", str(wsnp)]))
+    np.testing.assert_allclose(res1.pve, res0.pve, rtol=1e-8)
+    np.testing.assert_allclose(res1.se_pve, res0.se_pve, rtol=1e-8)
