@@ -266,3 +266,171 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
 
     return dict(p_wald=p_wald, p_lrt=p_lrt, p_score=p_score,
                 beta=beta, Vbeta=Vbeta)
+
+
+# ---------------------------------------------------------------------------
+# GxE variant (MVLMM::AnalyzeBimbamGXE/AnalyzePlinkGXE,
+# mvlmm.cpp:3970-4416): the global null is [W, env]; each SNP adds two
+# rows — x as a per-SNP covariate and x∘env as the tested effect.
+
+def _gxe_x_alt(X0e, x_block, xe_block=None):
+    S = x_block.shape[0]
+    c = X0e.shape[0]
+    rows = [jnp.broadcast_to(X0e, (S, c, X0e.shape[1])), x_block[:, None, :]]
+    if xe_block is not None:
+        rows.append(xe_block[:, None, :])
+    return jnp.concatenate(rows, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reml", "em_iter", "em_prec", "nr_iter",
+                              "nr_prec"))
+def _gxe_h0_refit_block(eval_, X0e, Y, x_block, Vg0, Ve0, B0,
+                        reml: bool, em_iter: int, em_prec: float,
+                        nr_iter: int, nr_prec: float):
+    """Per-SNP null [W, env, x]: short EM then NR (mvlmm.cpp:4272-4296)."""
+    S = x_block.shape[0]
+    d = Y.shape[0]
+    X_h0 = _gxe_x_alt(X0e, x_block)
+    Vg, Ve, B, _ = core.mph_em(
+        reml, em_iter, em_prec, eval_, X_h0, Y,
+        jnp.broadcast_to(Vg0, (S, d, d)), jnp.broadcast_to(Ve0, (S, d, d)),
+        jnp.broadcast_to(B0, (S,) + B0.shape))
+    Vg, Ve, logl, _ = core.mph_nr(reml, nr_iter, nr_prec, eval_, X_h0, Y,
+                                  Vg, Ve)
+    return Vg, Ve, logl
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reml", "em_iter", "em_prec"))
+def _gxe_h1_em_block(eval_, X0e, Y, x_block, xe_block, Vg0, Ve0, B0,
+                     reml: bool, em_iter: int, em_prec: float):
+    """H1 EM over [W, env, x, x∘env]; test on the interaction row."""
+    X_alt = _gxe_x_alt(X0e, x_block, xe_block)
+    Vg, Ve, B, logl = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
+                                  Vg0, Ve0, B0)
+    W_snp = X_alt[:, :-1, :]
+    stat, beta, Vbeta = core.mph_calc_p(eval_, xe_block, W_snp, Y, Vg, Ve)
+    return logl, stat, beta, Vbeta, Vg, Ve
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reml", "nr_iter", "nr_prec"))
+def _gxe_h1_nr_block(eval_, X0e, Y, x_block, xe_block, Vg0, Ve0,
+                     reml: bool, nr_iter: int, nr_prec: float):
+    X_alt = _gxe_x_alt(X0e, x_block, xe_block)
+    Vg, Ve, logl, _ = core.mph_nr(reml, nr_iter, nr_prec, eval_, X_alt, Y,
+                                  Vg0, Ve0)
+    W_snp = X_alt[:, :-1, :]
+    stat, beta, Vbeta = core.mph_calc_p(eval_, xe_block, W_snp, Y, Vg, Ve)
+    return logl, stat, beta, Vbeta
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gxe_score_block(eval_, X0e, Y, x_block, xe_block, Vg_null, Ve_null):
+    S = x_block.shape[0]
+    d = Y.shape[0]
+    X_alt = _gxe_x_alt(X0e, x_block, xe_block)
+    W_snp = X_alt[:, :-1, :]
+    return core.mph_calc_p(eval_, xe_block, W_snp, Y,
+                           jnp.broadcast_to(Vg_null, (S, d, d)),
+                           jnp.broadcast_to(Ve_null, (S, d, d)))
+
+
+def mvlmm_assoc_gxe(eval_, X0e, Y, x_block, xe_block, null: MvlmmNull,
+                    mode: int, cfg, dtype):
+    """GxE association for one rotated block.  X0e already contains
+    the environment row ([UtW; Ut env]); the per-SNP state evolution
+    (H0' refits feeding H1 starts for mode 4) follows
+    mvlmm.cpp:4268-4352."""
+    d = Y.shape[0]
+    S = x_block.shape[0]
+    em_iter = max(cfg.em_iter // 10, 1)
+    em_prec = cfg.em_prec * 10
+    nr_iter = max(cfg.nr_iter // 10, 1)
+    nr_prec = cfg.nr_prec * 10
+
+    p_wald = np.zeros(S)
+    p_lrt = np.zeros(S)
+    p_score = np.zeros(S)
+    beta = np.zeros((S, d))
+    Vbeta = np.zeros((S, d, d))
+
+    Vg_start = jnp.broadcast_to(null.Vg_start, (S, d, d))
+    Ve_start = jnp.broadcast_to(null.Ve_start, (S, d, d))
+    # B for H1 has c+2 SNP columns (x and x∘env)
+    B_h1 = jnp.concatenate(
+        [null.B_start, jnp.zeros((d, 1), null.B_start.dtype)], axis=1)
+    B_h1 = jnp.broadcast_to(B_h1, (S,) + B_h1.shape)
+    B_h0 = null.B_start                                  # (d, c+1)
+
+    Vg_h1_0, Ve_h1_0 = Vg_start, Ve_start
+    logl_H0_snp = None
+    if mode in (2, 3, 4):
+        if mode in (3, 4):
+            Vg_r, Ve_r, _ = _gxe_h0_refit_block(
+                eval_, X0e, Y, x_block, null.Vg_start, null.Ve_start,
+                B_h0, reml=True, em_iter=em_iter, em_prec=em_prec,
+                nr_iter=nr_iter, nr_prec=nr_prec)
+            Vg_h1_0, Ve_h1_0 = Vg_r, Ve_r
+        if mode in (2, 4):
+            # mode 4 carries the 'R'-refit state into the 'L' refit
+            # (V_g is not reset between the two, mvlmm.cpp:4283-4295)
+            Vg0 = Vg_h1_0 if mode == 4 else null.Vg_start
+            Ve0 = Ve_h1_0 if mode == 4 else null.Ve_start
+            Vg_l, Ve_l, logl_H0_snp = _gxe_h0_refit_block(
+                eval_, X0e, Y, x_block, Vg0, Ve0, B_h0, reml=False,
+                em_iter=em_iter, em_prec=em_prec,
+                nr_iter=nr_iter, nr_prec=nr_prec)
+            logl_H0_snp = np.asarray(logl_H0_snp)
+            Vg_h1_0, Ve_h1_0 = Vg_l, Ve_l
+
+    if mode in (3, 4):
+        stat, b, Vb = _gxe_score_block(eval_, X0e, Y, x_block, xe_block,
+                                       null.Vg_start, null.Ve_start)
+        p_score = np.array(chisq_sf(stat, float(d)))
+        beta, Vbeta = np.array(b), np.array(Vb)
+
+    if mode in (2, 4):
+        logl, stat, b, Vb, Vg1, Ve1 = _gxe_h1_em_block(
+            eval_, X0e, Y, x_block, xe_block, Vg_h1_0, Ve_h1_0, B_h1,
+            reml=False, em_iter=em_iter, em_prec=em_prec)
+        p_lrt = np.array(chisq_sf(2.0 * (np.asarray(logl) - logl_H0_snp),
+                                  float(d)))
+        beta, Vbeta = np.array(b), np.array(Vb)
+        idx = np.flatnonzero(p_lrt < cfg.p_nr)
+        if len(idx):
+            size = _bucket(len(idx))
+            pad = lambda a: _pad_rows(jnp.asarray(a[idx]), size)
+            logl2, _, b2, Vb2 = _gxe_h1_nr_block(
+                eval_, X0e, Y, pad(x_block), pad(xe_block),
+                pad(np.asarray(Vg1)), pad(np.asarray(Ve1)),
+                reml=False, nr_iter=nr_iter, nr_prec=nr_prec)
+            k = len(idx)
+            p_lrt[idx] = np.asarray(chisq_sf(
+                2.0 * (np.asarray(logl2)[:k] - logl_H0_snp[idx]), float(d)))
+            beta[idx] = np.asarray(b2)[:k]
+            Vbeta[idx] = np.asarray(Vb2)[:k]
+
+    if mode in (1, 4):
+        logl, stat, b, Vb, Vg1, Ve1 = _gxe_h1_em_block(
+            eval_, X0e, Y, x_block, xe_block, Vg_h1_0, Ve_h1_0, B_h1,
+            reml=True, em_iter=em_iter, em_prec=em_prec)
+        p_wald = np.array(chisq_sf(stat, float(d)))
+        beta, Vbeta = np.array(b), np.array(Vb)
+        idx = np.flatnonzero(p_wald < cfg.p_nr)
+        if len(idx):
+            size = _bucket(len(idx))
+            pad = lambda a: _pad_rows(jnp.asarray(a[idx]), size)
+            _, stat2, b2, Vb2 = _gxe_h1_nr_block(
+                eval_, X0e, Y, pad(x_block), pad(xe_block),
+                pad(np.asarray(Vg1)), pad(np.asarray(Ve1)),
+                reml=True, nr_iter=nr_iter, nr_prec=nr_prec)
+            k = len(idx)
+            p_wald[idx] = np.asarray(chisq_sf(np.asarray(stat2)[:k],
+                                              float(d)))
+            beta[idx] = np.asarray(b2)[:k]
+            Vbeta[idx] = np.asarray(Vb2)[:k]
+
+    return dict(p_wald=p_wald, p_lrt=p_lrt, p_score=p_score,
+                beta=beta, Vbeta=Vbeta)

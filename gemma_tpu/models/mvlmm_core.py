@@ -422,7 +422,8 @@ def mph_calc_p(eval_, x, W, Y, Vg, Ve):
     p-value = chi2_sf(stat, d) computed by the caller.
     """
     d = Y.shape[0]
-    c = W.shape[0]
+    c = W.shape[-2]                 # W may carry batch axes (GxE: the
+                                    # per-SNP covariates include x)
     D_l, UltVeh, UltVehi, _ = eigen_proc(Vg, Ve)
     Qi, _ = calc_qi(eval_, D_l, W)
     UltVehiY = UltVehi @ Y                                 # (..., d, n)
@@ -433,7 +434,7 @@ def mph_calc_p(eval_, x, W, Y, Vg, Ve):
     # xPx0_diag[i] = sum_k x_k^2 w[i,k]
     xPx0_diag = jnp.einsum("...in->...i", w * (x[..., None, :] ** 2))
 
-    whx = jnp.einsum("...n,jn,...in->...ji", x, W, w)      # (..., c, d)
+    whx = jnp.einsum("...n,...jn,...in->...ji", x, W, w)   # (..., c, d)
     WHiy = _calc_xhiy(eval_, D_l, W, UltVehiY)             # (..., c*d)
 
     batch = whx.shape[:-2]

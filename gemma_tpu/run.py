@@ -322,7 +322,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
 def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     from gemma_tpu.io.writers import write_mvlmm_assoc
-    from gemma_tpu.models.mvlmm import MvlmmNull, mvlmm_assoc
+    from gemma_tpu.models.mvlmm import (MvlmmNull, mvlmm_assoc,
+                                        mvlmm_assoc_gxe)
 
     dtype = _resolve_dtype(cfg)
     log = log or RunLog(argv=["gemma-tpu"])
@@ -333,11 +334,17 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
     W = jnp.asarray(ds.W, dtype=dtype)
     Ymat = jnp.asarray(ds.Y, dtype=dtype)             # (n, d)
+    is_gxe = ds.gxe is not None
     with log.timer.phase("utx"):
         UtW = U.T @ W
         UtY = U.T @ Ymat
     X0 = UtW.T                                        # (c, n)
     Y = UtY.T                                         # (d, n)
+    if is_gxe:
+        # GxE null covariates are [W, env] (mvlmm.cpp:4049-4052)
+        env = jnp.asarray(ds.gxe, dtype=dtype)
+        Ut_env = U.T @ env
+        X0 = jnp.concatenate([X0, Ut_env[None, :]], axis=0)
 
     null = MvlmmNull(eval_, X0, Y, cfg)
     log.null_model = dict(logl_remle_H0=null.logl_remle_H0,
@@ -353,7 +360,7 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
     idx = _assoc_snp_indices(ds)
     X_test = ds.geno.X[:, ds.indicator_idv]
-    block = min(cfg.block_size, 1024)
+    block = min(cfg.block_size, 256 if is_gxe else 1024)
 
     outs = dict(p_wald=[], p_lrt=[], p_score=[], beta=[], Vbeta=[])
     mode = cfg.a_mode
@@ -361,10 +368,27 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         for s in range(0, len(idx), block):
             sel = idx[s:s + block]
             raw = impute_mean(X_test[sel])
-            padded = _pad_block(raw.astype(np.float64), block, 0.0)
-            Utx = jnp.asarray(padded, dtype=dtype) @ U
-            res = mvlmm_assoc(eval_, X0, Y, Utx, null, mode, cfg, dtype)
             k = len(sel)
+            if is_gxe:
+                # minor-allele flip (mvlmm.cpp:4254-4258); beta sign
+                # restored below
+                x_mean = raw.mean(axis=1)
+                flip = x_mean > 1.0
+                raw = np.where(flip[:, None], 2.0 - raw, raw)
+                padded = _pad_block(raw.astype(np.float64), block, 0.0)
+                xd = jnp.asarray(padded, dtype=dtype)
+                Utx = xd @ U
+                Utxe = (xd * env[None, :]) @ U
+                res = mvlmm_assoc_gxe(eval_, X0, Y, Utx, Utxe, null,
+                                      mode, cfg, dtype)
+                sign = np.where(np.concatenate(
+                    [flip, np.zeros(block - k, bool)]), -1.0, 1.0)
+                res["beta"] = res["beta"] * sign[:, None]
+            else:
+                padded = _pad_block(raw.astype(np.float64), block, 0.0)
+                Utx = jnp.asarray(padded, dtype=dtype) @ U
+                res = mvlmm_assoc(eval_, X0, Y, Utx, null, mode, cfg,
+                                  dtype)
             for name in outs:
                 outs[name].append(res[name][:k])
     outs = {k: np.concatenate(v) if v else np.zeros((0,))
