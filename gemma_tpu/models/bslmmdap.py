@@ -251,3 +251,61 @@ def write_dap_result(prefix: str, rs_list, Hyper: np.ndarray,
         fh.write("coef\n")
         for v in coef:
             fh.write(f"{v:.6e}\n")
+
+
+def read_dap_annotations(path: str, rs_list):
+    """Annotation file for -bslmm 5: header columns ending in `_c`/`_C`
+    are continuous, other non-meta columns discrete (the BSLMMDAP
+    ReadFile_cat overload, bslmmdap.cpp:209-331 + the header
+    classification at gemma_io.cpp:2591-2604).
+
+    Returns (Ac (m, kc) or None, Ad (m, kd) dense 0-based codes or
+    None, n_levels list).  SNPs absent from the file get zeros."""
+    import gzip
+    import io as _io
+    from gemma_tpu.models.mqs import parse_header
+
+    opener = (lambda p: _io.TextIOWrapper(gzip.open(p, "rb"))) \
+        if str(path).endswith(".gz") else open
+    with opener(path) as fh:
+        header = fh.readline().replace(",", " ").split()
+        hdr = parse_header(" ".join(header))
+        meta_pos = {hdr[k] for k in ("rs", "chr", "pos", "cm", "a1", "a0")
+                    if hdr.get(k, 0)}
+        catc_cols = [i for i, tok in enumerate(header)
+                     if (i + 1) not in meta_pos and tok[-2:] in ("_c", "_C")]
+        catd_cols = [i for i, tok in enumerate(header)
+                     if (i + 1) not in meta_pos
+                     and tok[-2:] not in ("_c", "_C")]
+        rs2c, rs2d = {}, {}
+        for line in fh:
+            parts = line.replace(",", " ").split()
+            if not parts:
+                continue
+            rs = parts[hdr["rs"] - 1] if hdr.get("rs", 0) else \
+                f"{parts[hdr['chr'] - 1]}:{parts[hdr['pos'] - 1]}"
+            if catc_cols and rs not in rs2c:
+                rs2c[rs] = [float(parts[i]) for i in catc_cols]
+            if catd_cols and rs not in rs2d:
+                rs2d[rs] = [int(float(parts[i])) for i in catd_cols]
+
+    kc, kd = len(catc_cols), len(catd_cols)
+    m = len(rs_list)
+    Ac = Ad = n_levels = None
+    if kc:
+        Ac = np.zeros((m, kc))
+        for i, rs in enumerate(rs_list):
+            if rs in rs2c:
+                Ac[i] = rs2c[rs]
+    if kd:
+        Ad_raw = np.zeros((m, kd), dtype=np.int64)
+        for i, rs in enumerate(rs_list):
+            if rs in rs2d:
+                Ad_raw[i] = rs2d[rs]
+        # dense 0-based codes per column; n_levels = distinct count
+        Ad = np.empty_like(Ad_raw)
+        n_levels = []
+        for j in range(kd):
+            _, Ad[:, j] = np.unique(Ad_raw[:, j], return_inverse=True)
+            n_levels.append(int(Ad[:, j].max()) + 1)
+    return Ac, Ad, n_levels

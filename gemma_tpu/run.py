@@ -999,13 +999,24 @@ def run_bslmmdap_em(cfg: GemmaConfig, log: RunLog | None = None):
     (gemma.cpp:3085-3136)."""
     from gemma_tpu.models.bslmmdap import (read_hyp, read_bf,
                                            dap_estimate_hyper,
+                                           read_dap_annotations,
                                            write_dap_result)
     log = log or RunLog(argv=["gemma-tpu"])
     sa2, sb2, wab = read_hyp(cfg.file_hyp)
     rs_list, blocks = read_bf(cfg.file_bf)
+    Ac = Ad = n_levels = None
+    if cfg.file_cat:
+        # annotation-dependent priors via logistic regression
+        # (gemma.cpp:3103-3109)
+        Ac, Ad, n_levels = read_dap_annotations(cfg.file_cat, rs_list)
+        log.summary["number of continuous annotations"] = \
+            0 if Ac is None else Ac.shape[1]
+        log.summary["number of discrete annotations"] = \
+            0 if Ad is None else Ad.shape[1]
     with log.timer.phase("opt"):
         Hyper, pip, coef = dap_estimate_hyper(sa2, sb2, wab, blocks,
-                                              rs_list)
+                                              rs_list, Ac=Ac, Ad=Ad,
+                                              n_levels=n_levels)
     ensure_outdir(cfg.path_out)
     write_dap_result(cfg.out_prefix(), rs_list, Hyper, pip, coef)
     log.summary["number of analyzed SNPs/var"] = len(rs_list)
@@ -1038,7 +1049,11 @@ def run_predict(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
         y_prdt += add_breeding_values(G, u_hat, ds.indicator_idv)
 
     if cfg.file_epm:
-        est_cols = (2, 5, 6, 7) if not cfg.file_ebv else (2, 0, 6, 7)
+        # -en overrides the default column layout (param.cpp:671-683)
+        if cfg.est_column:
+            est_cols = tuple(cfg.est_column)
+        else:
+            est_cols = (2, 5, 6, 7) if not cfg.file_ebv else (2, 0, 6, 7)
         effects = read_est(cfg.file_epm, est_cols)
         y_add, ns_used = predict_effects(ds.geno.X, list(ds.geno.snps.rs),
                                          ds.indicator_idv, effects)

@@ -107,3 +107,49 @@ def test_irls_recovers_logistic_coef():
     np.testing.assert_allclose(coef, [1.5, -0.5], atol=0.2)
     pred = logistic_cont_pred(coef, x)
     assert 0 < pred.min() and pred.max() < 1
+
+
+def test_dap_cli_with_annotations(tmp_path):
+    """-bslmm 5 with -cat: discrete + continuous annotation columns
+    feed the logistic prior (gemma.cpp:3103-3136; columns ending in
+    `_c` are continuous, others discrete)."""
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import run_bslmmdap_em
+    from gemma_tpu.models.bslmmdap import read_dap_annotations
+
+    UtX, Uty, eval_, trace_G, causal = _setup(h2=0.7, seed=4)
+    grid = hyper_grid(0.3, 0.7, 2, 0.5, 0.9, 2, trace_G)
+    BF = dap_calc_bf(jnp.asarray(UtX), jnp.asarray(Uty),
+                     jnp.asarray(eval_), grid)
+    rows = [dict(chr="1", rs=f"rs{i}", ps=i, n_miss=0)
+            for i in range(BF.shape[0])]
+    prefix = str(tmp_path / "dap")
+    write_hyp_bf(prefix, grid, BF, rows)
+    bf_in = tmp_path / "bf_in.txt"
+    with open(bf_in, "w") as fh:
+        fh.write("rs\tblock\t" +
+                 "\t".join(f"BF{i}" for i in range(4)) + "\n")
+        for i in range(BF.shape[0]):
+            fh.write(f"rs{i}\tb{i // 10}\t" +
+                     "\t".join(f"{v:.6e}" for v in BF[i]) + "\n")
+
+    rng = np.random.default_rng(0)
+    cat = tmp_path / "cat.txt"
+    with open(cat, "w") as fh:
+        fh.write("rs\tcoding\tscore_c\n")
+        for i in range(BF.shape[0]):
+            fh.write(f"rs{i}\t{int(i in causal or rng.random() < 0.2)}"
+                     f"\t{rng.normal():.4f}\n")
+
+    Ac, Ad, n_levels = read_dap_annotations(str(cat),
+                                            [f"rs{i}" for i in range(40)])
+    assert Ac.shape == (40, 1) and Ad.shape == (40, 1)
+    assert n_levels == [2]
+
+    cfg = parse_args(["-bslmm", "5", "-hyp", prefix + ".hyp.txt",
+                      "-bf", str(bf_in), "-cat", str(cat),
+                      "-outdir", str(tmp_path), "-o", "dapann"])
+    Hyper, pip, coef = run_bslmmdap_em(cfg)
+    assert np.all((pip >= 0) & (pip <= 1))
+    assert np.all(np.isfinite(coef))
+    assert (tmp_path / "dapann.log.txt").exists()
