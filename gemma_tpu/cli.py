@@ -17,6 +17,90 @@ import sys
 from gemma_tpu.config import GemmaConfig
 
 
+HELP = """\
+GEMMA-TPU: Genome-wide Efficient Mixed Model Association on TPU
+Flag-compatible with GEMMA (gemma.cpp PrintHelp, :153-752).
+
+ FILE I/O
+  -bfile/-b  [prefix]   PLINK binary ped prefix (.bed/.bim/.fam)
+  -g         [file]     BIMBAM mean genotype file (.txt or .txt.gz)
+  -mbfile/-mg [file]    list file of PLINK prefixes / BIMBAM files
+  -p         [file]     phenotype file (one column per phenotype)
+  -n         [nums]     phenotype column(s), 1-based (default 1)
+  -a         [file]     BIMBAM SNP annotation (rs, bp, chr[, cM])
+  -c         [file]     covariates (include a 1s intercept column)
+  -gxe       [file]     environmental variable for GxE tests
+  -widv      [file]     residual weights per individual
+  -k/-mk     [file]     kinship matrix / list of kinship files
+  -km        [num]      kinship format: 1 dense, 2 id id value
+  -u/-d      [file]     eigen U matrix / D values of the kinship
+  -snps/-ksnps/-gwasnps [file]  SNP subsets (analysis/kinship/tests)
+  -epm/-en   [file/cols] estimated parameters for -predict (+columns)
+  -ebv/-emu  [file/num] estimated breeding values / mean estimate
+  -beta/-cor [file]     summary statistics (z or beta/se) / LD file
+  -cat/-mcat [file]     SNP categories (multi-VC) / list of cat files
+  -wsnp/-wcat [file]    per-SNP / per-category MQS weights
+  -study/-ref [prefix]  MQS study (.q/.Vq/.size) / reference (.S/.size)
+  -mstudy/-mref [file]  lists of study / reference prefixes
+  -gene      [file]     gene expression matrix (each gene a response)
+  -hyp/-bf   [file]     DAP hyper-parameter grid / Bayes factor files
+  -outdir    [path]     output directory (default ./output)
+  -o         [prefix]   output file prefix (default result)
+
+ QC
+  -miss/-maf/-hwe/-r2 [num]   filters (defaults 0.05/0.01/0/0.9999)
+  -notsnp               disable the MAF filter (any numeric values)
+  -nind      [num]      keep only the first N analyzed individuals
+  -sample    [num]      random subsample of N analyzed individuals
+
+ ANALYSES (one of)
+  -gk   [1|2]           centered / standardized relatedness matrix
+  -eigen                eigendecomposition of the kinship
+  -lmm  [1..5,9]        Wald / LRT / score / all / resid / LRT+Wald
+  -lm   [1..4]          plain linear model tests
+  -vc   [1|2|3]         HE regression / REML-AI / ACL components
+  -ci   [1|2]           MQS confidence intervals (needs -pve, -ref)
+  -gs / -gq             MQS S matrix / q vector building blocks
+  -bslmm [1..5]         MCMC / ridge / probit / DAP-BF / DAP-EM
+  -predict [1|2|3]      phenotype prediction (+probit, +MVN imputation)
+  -calccor / -gw        windowed SNP correlations
+  -loco  [chr]          leave-one-chromosome-out for -gk/-lmm
+
+ LMM
+  -lmin/-lmax [num]     lambda optimisation interval (1e-5 / 1e5)
+  -region    [num]      lambda sign-scan subdivisions (10)
+  -pnr       [num]      NR refinement p-value threshold (0.001)
+  -emi/-nri  [num]      max EM / NR iterations (10000 / 100)
+  -emp/-nrp  [num]      EM / NR precision (1e-4)
+  -crt                  small-sample p-value correction (mvLMM)
+  -pve       [nums]     pve point estimates (for -ci)
+  -noconstrain          REML in sigma2 (not log sigma2) coordinates
+  -blocks    [num]      jackknife block count for MQS (200)
+
+ BSLMM / MCMC
+  -hmin/-hmax, -rmin/-rmax, -pmin/-pmax, -smin/-smax   prior ranges
+  -hscale/-rscale/-pscale [num]  MH proposal step scales
+  -w/-s      [num]      burn-in / sampling steps (100000 / 1000000)
+  -rpace/-wpace [num]   recording / writing paces (10 / 1000)
+  -mh        [num]      MH steps per iteration (10)
+  -gmean     [num]      geometric-mean rank weighting (2000)
+  -seed      [num]      RNG seed
+  -mu        [num]      phenotype mean for -predict
+
+ WINDOWS (-calccor / -beta LD correction)
+  -windowbp/-windowcm/-windowns [num]
+
+ RUNTIME
+  -pace      [num]      progress stride
+  -check/-no-check      kinship validation on/off
+  -debug/-debug-data/-debug-dump   verbose diagnostics
+  -silence/--quiet      suppress console output
+  -precision [auto|float32|float64]   (gemma-tpu) dtype policy
+  -block-size [num]     (gemma-tpu) SNPs per device batch
+  -h / -license         this help / license info
+"""
+
+
 def _is_flag(tok: str) -> bool:
     if not tok.startswith("-"):
         return False
@@ -260,8 +344,13 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.precision = take()
         elif a == "-block-size":
             cfg.block_size = int(take())
-        elif a in ("-h", "-license", "--help"):
-            print(__doc__)
+        elif a in ("-h", "--help"):
+            print(HELP)
+            sys.exit(0)
+        elif a == "-license":
+            print("gemma-tpu: TPU-native GWAS mixed-model engine.\n"
+                  "Distributed under the GPLv3 license, like the GEMMA\n"
+                  "reference implementation it is format-compatible with.")
             sys.exit(0)
         else:
             raise ValueError(f"unknown flag: {a}")

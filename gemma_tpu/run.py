@@ -859,7 +859,12 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
     ensure_outdir(cfg.path_out)
     rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
 
-    if cfg.a_mode == 14:   # DAP step 1: per-SNP grid Bayes factors
+    # -bslmm 4 with rho fixed at 1 runs plain BVSR MCMC instead of the
+    # DAP grid (gemma.cpp:2997-3010); the rotated-space chain evaluates
+    # the identical posterior at rho=1, where the u term vanishes
+    if cfg.a_mode == 14 and cfg.rho_min == 1 and cfg.rho_max == 1:
+        pass       # falls through to the MCMC path below
+    elif cfg.a_mode == 14:   # DAP step 1: per-SNP grid Bayes factors
         from gemma_tpu.models.bslmmdap import hyper_grid, dap_calc_bf, \
             write_hyp_bf
         h_min = 0.0 if cfg.h_min == -1 else cfg.h_min
