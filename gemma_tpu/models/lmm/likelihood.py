@@ -110,6 +110,52 @@ def _base_row(w, data: LmmBatchData, n_cvt: int):
     return jnp.stack(parts, axis=-1)
 
 
+def _base_rows_multi(hi, data: LmmBatchData, n_cvt: int, order: int):
+    """Base rows for weights hi^1..hi^order in one fused pass.
+
+    The only large materialized tensor is Utx: v1 = hi*Utx is shared by
+    every power (xx terms become dot products of v1 with hi-powers of
+    Utx; xcross terms are (hi^p * v1) @ UtWy), so HBM traffic per
+    derivative evaluation drops ~order-fold versus calling _base_row
+    once per power.  hi itself is a cheap broadcast of (lam, eval) that
+    XLA fuses into each consumer.
+    """
+    idx = pab_indices(n_cvt)
+    v1 = hi * data.Utx                                  # (..., S, n)
+
+    shared, xcross, xx = [], [], []
+    w = hi
+    vx = v1
+    for p in range(order):
+        shared.append(jnp.matmul(w, data.wy_prod))      # (..., S, m_wy)
+        xcross.append(jnp.matmul(vx, data.UtWy))
+        if p == 0:
+            xx.append(jnp.sum(v1 * data.Utx, axis=-1))
+        elif p == 1:
+            xx.append(jnp.sum(v1 * v1, axis=-1))
+        else:
+            xx.append(jnp.sum(v1 * v1 * hi, axis=-1))
+        if p + 1 < order:
+            w = w * hi
+            vx = vx * hi
+
+    wy_col = {int(q): i for i, q in enumerate(idx.wy_positions)}
+    xw_col = {int(q): int(j) for q, j in zip(idx.xw_positions,
+                                             idx.xw_partners)}
+    rows = []
+    for p in range(order):
+        parts = []
+        for k in range(idx.n_index):
+            if k in wy_col:
+                parts.append(shared[p][..., wy_col[k]])
+            elif k == idx.xx:
+                parts.append(xx[p])
+            else:
+                parts.append(xcross[p][..., xw_col[k]])
+        rows.append(jnp.stack(parts, axis=-1))
+    return rows
+
+
 def _pab_rows(row0, n_cvt: int):
     """CalcPab recurrence: eliminate covariates 1..n_cvt then x.
 
@@ -226,11 +272,11 @@ def dev1(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
     nc_total = _nc_total(n_cvt, calc_null)
 
     _, hi = _weights(lam, data.eval)
-    hihi = hi * hi
     trace_hi = jnp.sum(hi, axis=-1)
 
-    pab = _pab_rows(_base_row(hi, data, n_cvt), n_cvt)
-    ppab = _ppab_rows(_base_row(hihi, data, n_cvt), pab, n_cvt)
+    row1, row2 = _base_rows_multi(hi, data, n_cvt, 2)
+    pab = _pab_rows(row1, n_cvt)
+    ppab = _ppab_rows(row2, pab, n_cvt)
 
     p_yy = pab[nc_total][..., idx.yy]
     pp_yy = ppab[nc_total][..., idx.yy]
@@ -256,14 +302,13 @@ def dev12(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
     nc_total = _nc_total(n_cvt, calc_null)
 
     _, hi = _weights(lam, data.eval)
-    hihi = hi * hi
-    hihihi = hihi * hi
     trace_hi = jnp.sum(hi, axis=-1)
-    trace_hihi = jnp.sum(hihi, axis=-1)
+    trace_hihi = jnp.sum(hi * hi, axis=-1)
 
-    pab = _pab_rows(_base_row(hi, data, n_cvt), n_cvt)
-    ppab = _ppab_rows(_base_row(hihi, data, n_cvt), pab, n_cvt)
-    pppab = _pppab_rows(_base_row(hihihi, data, n_cvt), pab, ppab, n_cvt)
+    row1, row2, row3 = _base_rows_multi(hi, data, n_cvt, 3)
+    pab = _pab_rows(row1, n_cvt)
+    ppab = _ppab_rows(row2, pab, n_cvt)
+    pppab = _pppab_rows(row3, pab, ppab, n_cvt)
 
     p_yy = pab[nc_total][..., idx.yy]
     pp_yy = ppab[nc_total][..., idx.yy]

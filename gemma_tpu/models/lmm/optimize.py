@@ -266,6 +266,8 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
     step = np.log(l_max / l_min) / n_region
     grid_np = l_min * np.exp(step * np.arange(n_region + 1))
     grid = jnp.asarray(grid_np, dtype=dtype)
+    # grid lambdas are python constants here, so XLA constant-folds the
+    # per-point weight vectors and fuses the whole scan
     d1_rows = [f_dev1(jnp.full((S,), g, dtype=dtype)) for g in grid_np]
     d1 = jnp.stack(d1_rows)                         # (G+1, S)
     sign_change = d1[:-1] * d1[1:] <= 0.0           # (G, S)
