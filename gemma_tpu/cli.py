@@ -97,6 +97,9 @@ Flag-compatible with GEMMA (gemma.cpp PrintHelp, :153-752).
   -silence/--quiet      suppress console output
   -precision [auto|float32|float64]   (gemma-tpu) dtype policy
   -block-size [num]     (gemma-tpu) SNPs per device batch
+  -ckpt      [num]      (gemma-tpu) checkpoint the BSLMM chain every
+                        N iterations; an interrupted run resumes from
+                        <prefix>.mcmc.ckpt.npz automatically
   -h / -license         this help / license info
 """
 
@@ -344,6 +347,8 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.precision = take()
         elif a == "-block-size":
             cfg.block_size = int(take())
+        elif a in ("-ckpt", "-checkpoint"):
+            cfg.checkpoint_every = int(take())
         elif a in ("-h", "--help"):
             print(HELP)
             sys.exit(0)

@@ -143,6 +143,7 @@ class GemmaConfig:
     check: bool = True
     debug: bool = False
     d_pace: int = 100000        # -pace progress stride
+    checkpoint_every: int = 0   # -ckpt N: BSLMM MCMC checkpoint stride
     est_column: Sequence[int] = ()  # -en columns in -epm file
 
     def __post_init__(self):

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -420,7 +421,9 @@ def make_mcmc_step(UtX_sorted, Uty, eval_, trace_G, p_gamma,
 
 def run_mcmc(UtX_sorted, Uty, eval_, trace_G, settings: BslmmSettings,
              h0: float, rho0: float, logp0: float, n_gamma0: int,
-             seed: int = 0, U=None, y_labels=None):
+             seed: int = 0, U=None, y_labels=None,
+             checkpoint_path: str | None = None,
+             checkpoint_every: int = 0):
     """Run the full chain on device.  Returns the final ChainState."""
     n, p = UtX_sorted.shape
     dtype = UtX_sorted.dtype
@@ -457,10 +460,40 @@ def run_mcmc(UtX_sorted, Uty, eval_, trace_G, settings: BslmmSettings,
     total = settings.w_step + settings.s_step
 
     @jax.jit
-    def chain(state):
-        return jax.lax.fori_loop(0, total, iteration, state)
+    def chain(state, start, stop):
+        return jax.lax.fori_loop(start, stop, iteration, state)
 
-    return chain(state)
+    if not checkpoint_path or checkpoint_every <= 0:
+        return chain(state, jnp.int32(0), jnp.int32(total))
+
+    # Segmented execution with host-side checkpointing — a capability
+    # the reference lacks (its only crash tolerance is the w_pace
+    # incremental flush, bslmm.cpp:1113-1155; SURVEY §5.3-5.4): the
+    # chain runs in fixed-size device segments and the full ChainState
+    # (including the RNG key) lands in an .npz after each, so a killed
+    # multi-hour run resumes bit-identically from the last segment.
+    start_iter = 0
+    if os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        if (int(ck["total"]) == total and int(ck["seed"]) == seed
+                and int(ck["it"]) < total):
+            start_iter = int(ck["it"])
+            state = ChainState(**{
+                f: jnp.asarray(ck[f]) for f in ChainState._fields})
+
+    it = start_iter
+    while it < total:
+        stop = min(it + checkpoint_every, total)
+        state = chain(state, jnp.int32(it), jnp.int32(stop))
+        jax.block_until_ready(state.rec_hyp)
+        it = stop
+        payload = {f: np.asarray(getattr(state, f))
+                   for f in ChainState._fields}
+        payload.update(it=it, total=total, seed=seed)
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, checkpoint_path)
+    return state
 
 
 def ridge_gblup(UtX, Uty, eval_, lam):

@@ -957,7 +957,9 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
                          st, h0, rho0, logp0, n_gamma0,
                          seed=cfg.seed if cfg.seed >= 0 else 0,
                          U=Ud if cfg.a_mode == 13 else None,
-                         y_labels=yd if cfg.a_mode == 13 else None)
+                         y_labels=yd if cfg.a_mode == 13 else None,
+                         checkpoint_path=f"{cfg.out_prefix()}.mcmc.ckpt.npz",
+                         checkpoint_every=cfg.checkpoint_every)
         final.rec_hyp.block_until_ready()
 
     w = int(final.w)

@@ -145,3 +145,68 @@ def test_ridge_gblup_closed_form():
         rtol=1e-10)
     np.testing.assert_allclose(
         np.asarray(u_rot), (H - 1.0) * np.asarray(Uty) / H, rtol=1e-10)
+
+
+def test_mcmc_checkpoint_resume(tmp_path, monkeypatch):
+    """Segmented checkpointing: (a) a checkpointed run reproduces the
+    un-checkpointed chain bit-for-bit (the RNG key travels in the
+    state); (b) a run killed mid-chain resumes from the .npz and
+    reaches the identical final state."""
+    import os as _os
+    import numpy as _np
+    import jax.numpy as jnp
+    from gemma_tpu.models.bslmm import BslmmSettings, run_mcmc
+
+    rng = np.random.default_rng(0)
+    n, p = 60, 40
+    X = rng.binomial(2, 0.3, size=(p, n)).astype(np.float64)
+    Xc = X - X.mean(axis=1, keepdims=True)
+    y = Xc[2] * 0.9 + rng.normal(size=n)
+    y -= y.mean()
+    K = Xc.T @ Xc / p
+    from gemma_tpu.ops.eigh import eigh_zeroed
+    eval_, U, trace_G = eigh_zeroed(jnp.asarray(K))
+    UtX = (jnp.asarray(Xc) @ U).T
+    Uty = U.T @ jnp.asarray(y)
+
+    st = BslmmSettings(ns_test=p, ni_test=n, w_step=200, s_step=400,
+                       r_pace=10, s_max=20, a_mode=11)
+    args = (UtX, Uty, eval_, jnp.asarray(trace_G), st, 0.4, 0.8,
+            float(np.log(3 / p)), 3)
+
+    ref = run_mcmc(*args, seed=7)
+
+    ck = str(tmp_path / "chain.ckpt.npz")
+    seg = run_mcmc(*args, seed=7, checkpoint_path=ck,
+                   checkpoint_every=137)
+    for f in ref._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f)),
+                                      np.asarray(getattr(seg, f)), f)
+    assert _os.path.exists(ck)
+
+    # crash after the second segment save, then resume
+    ck2 = str(tmp_path / "crash.ckpt.npz")
+    saves = {"n": 0}
+    real_savez = _np.savez
+
+    def crashing_savez(*a, **kw):
+        real_savez(*a, **kw)
+        saves["n"] += 1
+        if saves["n"] == 2:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(_np, "savez", crashing_savez)
+    with pytest.raises(KeyboardInterrupt):
+        run_mcmc(*args, seed=7, checkpoint_path=ck2, checkpoint_every=137)
+    monkeypatch.setattr(_np, "savez", real_savez)
+
+    partial = _np.load(ck2)
+    # the crash hits inside the SECOND savez, before its atomic
+    # os.replace — so the surviving checkpoint is the first segment
+    assert int(partial["it"]) == 137
+
+    resumed = run_mcmc(*args, seed=7, checkpoint_path=ck2,
+                       checkpoint_every=137)
+    for f in ref._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f)),
+                                      np.asarray(getattr(resumed, f)), f)
