@@ -100,6 +100,8 @@ Flag-compatible with GEMMA (gemma.cpp PrintHelp, :153-752).
   -ckpt      [num]      (gemma-tpu) checkpoint the BSLMM chain every
                         N iterations; an interrupted run resumes from
                         <prefix>.mcmc.ckpt.npz automatically
+  -trace     [dir]      (gemma-tpu) write a JAX profiler trace of the
+                        analysis (view with TensorBoard / xprof)
   -h / -license         this help / license info
 """
 
@@ -349,6 +351,8 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.block_size = int(take())
         elif a in ("-ckpt", "-checkpoint"):
             cfg.checkpoint_every = int(take())
+        elif a == "-trace":
+            cfg.trace_dir = take()
         elif a in ("-h", "--help"):
             print(HELP)
             sys.exit(0)

@@ -144,6 +144,7 @@ class GemmaConfig:
     debug: bool = False
     d_pace: int = 100000        # -pace progress stride
     checkpoint_every: int = 0   # -ckpt N: BSLMM MCMC checkpoint stride
+    trace_dir: str = ""         # -trace: JAX profiler trace output dir
     est_column: Sequence[int] = ()  # -en columns in -epm file
 
     def __post_init__(self):

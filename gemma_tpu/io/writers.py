@@ -85,6 +85,19 @@ def _lm_stat_columns(mode: int):
     return ["beta", "se", "p_wald", "p_lrt", "p_score"]
 
 
+def write_lm_gene_assoc(path: str, mode: int, gene_ids: list,
+                        stats: dict) -> None:
+    """Gene-expression -lm assoc.txt (lm.cpp:94-160)."""
+    cols = _lm_stat_columns(mode)
+    with open(path, "w") as fh:
+        fh.write("geneID\t")
+        fh.write("\t".join(cols) + "\n")
+        for i, gid in enumerate(gene_ids):
+            fh.write(f"{gid}\t")
+            fh.write("\t".join(_fmt_sci6(float(stats[c][i])) for c in cols))
+            fh.write("\n")
+
+
 def write_lm_assoc(path: str, mode: int, snp_rows: list, stats: dict) -> None:
     cols = _lm_stat_columns(mode)
     with open(path, "w") as fh:

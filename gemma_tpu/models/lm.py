@@ -63,3 +63,35 @@ def lm_block(W, y, X_block, mode: int = 51) -> LmStats:
     se = se_score if mode == 53 else se_wald
     return LmStats(beta=beta, se=se, p_wald=p_wald, p_lrt=p_lrt,
                    p_score=p_score)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def lm_gene_block(W, x, Y_block, mode: int = 51) -> LmStats:
+    """Gene-expression OLS: the phenotype x is the (shared) predictor
+    and each gene expression row of Y_block is a response
+    (LM::AnalyzeGene, lm.cpp:290-384)."""
+    n, c = W.shape
+    df = float(n - c - 1)
+
+    WtW = W.T @ W
+    Wtx = W.T @ x
+    WtWi_Wtx = jnp.linalg.solve(WtW, Wtx)
+    xPwx = x @ x - Wtx @ WtWi_Wtx
+
+    WtY = jnp.matmul(W.T, Y_block.T)            # (c, G)
+    yPwy = jnp.sum(Y_block * Y_block, axis=1) - jnp.sum(
+        WtY * jnp.linalg.solve(WtW, WtY), axis=0)
+    xPwy = jnp.matmul(Y_block, x) - WtY.T @ WtWi_Wtx
+
+    yPxy = yPwy - xPwy * xPwy / xPwx
+    beta = xPwy / xPwx
+    se_wald = jnp.sqrt(yPxy / (df * xPwx))
+    se_score = jnp.sqrt(yPwy / (n * xPwx))
+
+    p_wald = f_sf(beta * beta / (se_wald * se_wald), 1.0, df)
+    p_score = f_sf(beta * beta / (se_score * se_score), 1.0, df)
+    p_lrt = chisq_sf(n * (jnp.log(yPwy) - jnp.log(yPxy)), 1.0)
+
+    se = se_score if mode == 53 else se_wald
+    return LmStats(beta=beta, se=se, p_wald=p_wald, p_lrt=p_lrt,
+                   p_score=p_score)

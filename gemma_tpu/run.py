@@ -420,6 +420,36 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
     W = jnp.asarray(ds.W, dtype=dtype)
     y = jnp.asarray(ds.Y[:, 0], dtype=dtype)
+
+    # gene-expression mode: phenotype is the predictor, each gene a
+    # response (LM::AnalyzeGene, lm.cpp:290-384; gemma.cpp:2076-2086)
+    if cfg.file_gene:
+        from gemma_tpu.io.readers import read_gene_expression
+        from gemma_tpu.io.writers import write_lm_gene_assoc
+        from gemma_tpu.models.lm import lm_gene_block
+
+        gene_ids, expr = read_gene_expression(cfg.file_gene)
+        expr_test = expr[:, ds.indicator_idv]
+        names = ("beta", "se", "p_wald", "p_lrt", "p_score")
+        gstats = {k: [] for k in names}
+        with log.timer.phase("opt"):
+            for s in range(0, len(gene_ids), cfg.block_size):
+                blk = expr_test[s:s + cfg.block_size].astype(np.float64)
+                st = lm_gene_block(W, y, jnp.asarray(blk, dtype=dtype),
+                                   mode=cfg.a_mode)
+                for name in names:
+                    gstats[name].append(np.asarray(getattr(st, name)))
+        gstats = {k: np.concatenate(v) for k, v in gstats.items()}
+        ensure_outdir(cfg.path_out)
+        write_lm_gene_assoc(f"{cfg.out_prefix()}.assoc.txt", cfg.a_mode,
+                            gene_ids, gstats)
+        log.summary["number of total individuals"] = ds.ni_total
+        log.summary["number of analyzed individuals"] = ds.ni_test
+        log.summary["number of covariates"] = ds.n_cvt
+        log.summary["number of total genes"] = len(gene_ids)
+        log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+        return dict(stats=gstats, gene_ids=gene_ids, dataset=ds)
+
     idx = _assoc_snp_indices(ds)
     X_test = ds.geno.X[:, ds.indicator_idv]
 
@@ -469,19 +499,37 @@ def _snp_categories(ds: Dataset, cfg: GemmaConfig):
 def run_gs(cfg: GemmaConfig, log: RunLog | None = None):
     """-gs: S matrix (+ jackknife variance) from reference genotypes
     (gemma.cpp:1947-2001)."""
+    import gzip
     from gemma_tpu.models.mqs import calc_s
+    from gemma_tpu.models.ci import read_wsnp, read_wcat, obtain_weight
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
-    idx, cats, n_vc, _ = _snp_categories(ds, cfg)
+    idx, cats, n_vc, rs2cat = _snp_categories(ds, cfg)
+
+    # -wsnp/-wcat weights via ObtainWeight (gemma.cpp:1972-1975)
+    qc_rs = [ds.geno.snps.rs[i] for i in idx]
+    rs2wsnp = read_wsnp(cfg.file_wsnp) if cfg.file_wsnp else None
+    rs2wcat = read_wcat(cfg.file_wcat, n_vc) if cfg.file_wcat else None
+    weights = None
+    if rs2wsnp is not None or rs2wcat is not None or rs2cat is not None:
+        wK = obtain_weight(qc_rs, set(), rs2cat, rs2wsnp, rs2wcat)
+        cats = np.where([rs in wK for rs in qc_rs], cats, -1)
+        if rs2wsnp is not None:
+            weights = np.array([wK.get(rs, 0.0) for rs in qc_rs])
 
     X = ds.geno.X[idx][:, ds.indicator_idv]
     with log.timer.phase("kinship"):
-        S, Svar, ns = calc_s(X, ds.W, cats, n_vc)
+        S, Svar, ns = calc_s(X, ds.W, cats, n_vc, weights=weights)
 
     ensure_outdir(cfg.path_out)
     write_matrix(f"{cfg.out_prefix()}.S.txt", np.vstack([S, Svar]))
     write_vector(f"{cfg.out_prefix()}.size.txt",
                  np.concatenate([ns.astype(float), [float(ds.ni_test)]]))
+    # analyzed SNP ids (WriteVar "snps", param.cpp:1851-1884)
+    with gzip.open(f"{cfg.out_prefix()}.snps.txt.gz", "wt") as fh:
+        for rs, c in zip(qc_rs, cats):
+            if c >= 0:
+                fh.write(f"{rs}\n")
     log.summary["number of total individuals"] = ds.ni_total
     log.summary["number of analyzed individuals"] = ds.ni_test
     log.summary["number of variance components"] = n_vc
@@ -1196,6 +1244,19 @@ def run_calccor(cfg: GemmaConfig, log: RunLog | None = None):
 def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     """Mode dispatch (GEMMA::BatchRun, gemma.cpp:1641)."""
     log = RunLog(argv=argv or ["gemma-tpu"])
+    if cfg.trace_dir:
+        # device-level profiling (the `make profile` analogue,
+        # SURVEY §5.1); phase wall-clock always lands in .log.txt
+        import contextlib
+        ctx = jax.profiler.trace(cfg.trace_dir)
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _batch_run_inner(cfg, log)
+
+
+def _batch_run_inner(cfg: GemmaConfig, log: RunLog) -> None:
     if cfg.a_mode in (21, 22):
         run_gk(cfg, log)
     elif cfg.a_mode == 31:

@@ -49,3 +49,34 @@ def test_gene_mode_runs(tmp_path):
     assert set(np.argsort(p)[:3]) == {0, 1, 2}
     header = open(f"{out}/gene.assoc.txt").readline()
     assert header.startswith("geneID\t")
+
+
+def test_lm_gene_matches_ols(tmp_path):
+    """-lm with -gene: per-gene OLS where the phenotype is the
+    predictor; cross-check beta/p against statsmodels-free dense OLS."""
+    import jax.numpy as jnp
+    import scipy.stats
+    from gemma_tpu.models.lm import lm_gene_block
+
+    rng = np.random.default_rng(3)
+    n, G = 80, 12
+    W = np.column_stack([np.ones(n), rng.normal(size=n)])
+    x = rng.normal(size=n)
+    Y = rng.normal(size=(G, n))
+    Y[0] += 0.8 * x                       # one associated gene
+
+    st = lm_gene_block(jnp.asarray(W), jnp.asarray(x), jnp.asarray(Y),
+                       mode=54)
+    # dense reference: regress each gene on [W, x]
+    for g in range(G):
+        Xd = np.column_stack([W, x])
+        coef, res, *_ = np.linalg.lstsq(Xd, Y[g], rcond=None)
+        dfr = n - Xd.shape[1]
+        resid = Y[g] - Xd @ coef
+        sigma2 = resid @ resid / dfr
+        cov = sigma2 * np.linalg.inv(Xd.T @ Xd)
+        tstat = coef[-1] / np.sqrt(cov[-1, -1])
+        p_ref = 2 * scipy.stats.t.sf(abs(tstat), dfr)
+        np.testing.assert_allclose(float(st.beta[g]), coef[-1], rtol=1e-8)
+        np.testing.assert_allclose(float(st.p_wald[g]), p_ref, rtol=1e-6)
+    assert float(st.p_wald[0]) < 1e-4
