@@ -234,7 +234,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
         return dict(stats=out_stats, gene_ids=gene_ids, dataset=ds)
 
-    # residual decomposition for -lmm 5 (gemma.cpp:2756-2788)
+    # -lmm 5 writes ONLY the residual decomposition — the reference
+    # runs no association pass in this mode (gemma.cpp:2756-2796)
     if cfg.a_mode == 5:
         y_hat = Uty - UtW @ nf.beta_remle
         lam = nf.l_remle
@@ -243,13 +244,19 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         ensure_outdir(cfg.path_out)
         write_vector(f"{cfg.out_prefix()}.residU.txt", np.asarray(U @ u_rot))
         write_vector(f"{cfg.out_prefix()}.residE.txt", np.asarray(U @ e_rot))
+        log.summary["number of total individuals"] = ds.ni_total
+        log.summary["number of analyzed individuals"] = ds.ni_test
+        log.summary["number of covariates"] = n_cvt
+        log.summary["number of phenotypes"] = cfg.n_ph
+        log.write(f"{cfg.out_prefix()}.log.txt", cfg.a_mode)
+        return dict(null=nf, dataset=ds)
 
     idx = _assoc_snp_indices(ds)
     stats = {k: [] for k in ("beta", "se", "lambda_remle", "lambda_mle",
                              "p_wald", "p_lrt", "p_score", "logl_H1")}
 
     X_test = ds.geno.X[:, ds.indicator_idv]
-    mode = cfg.a_mode if cfg.a_mode != 5 else 1
+    mode = cfg.a_mode
     is_gxe = ds.gxe is not None
     if is_gxe:
         from gemma_tpu.models.lmm.engine import assoc_gxe_block

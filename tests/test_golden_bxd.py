@@ -75,3 +75,23 @@ def test_bxd_lmm9_golden(bxd_outputs):
     # the reference asserts the l_mle value on the row with max l_mle
     assert abs(l_mle.max() - 0.7531109) < 1e-3
     assert abs(p_lrt.max() - 9.997119e-01) < 1e-3
+
+
+def test_lmm5_residuals_only(tmp_path):
+    """-lmm 5 writes residU/residE and no assoc.txt
+    (gemma.cpp:2756-2796 runs no association pass in mode 5)."""
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import run_gk, run_lmm
+    out = str(tmp_path)
+    common = (f"-g {EXAMPLE}/BXD_geno.txt.gz -p {EXAMPLE}/BXD_pheno.txt "
+              f"-outdir {out} -precision float64 -no-check")
+    run_gk(parse_args((common + " -gk -o K").split()))
+    run_lmm(parse_args((common + f" -k {out}/K.cXX.txt -lmm 5 -o r5").split()))
+    assert (tmp_path / "r5.residU.txt").exists()
+    assert (tmp_path / "r5.residE.txt").exists()
+    assert not (tmp_path / "r5.assoc.txt").exists()
+    u = np.loadtxt(tmp_path / "r5.residU.txt")
+    e = np.loadtxt(tmp_path / "r5.residE.txt")
+    # u + e reconstructs the null-model residual y - W beta
+    assert u.shape == e.shape
+    assert np.all(np.isfinite(u)) and np.all(np.isfinite(e))
