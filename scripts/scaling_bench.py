@@ -1,0 +1,98 @@
+"""Multi-device scaling harness (BASELINE: >=80% scaling efficiency).
+
+Measures SNP-sharded LMM association throughput at 1, 2, ..., D
+devices on whatever mesh is available and prints one JSON line per
+device count plus the scaling efficiency relative to 1 device.
+
+On a real pod slice run it as-is; on a development host use the
+virtual CPU mesh:
+
+    python scripts/scaling_bench.py --n 512 --snps-per-device 1024 --cpu 8
+
+NOTE: virtual CPU devices all share one host's cores, so --cpu runs
+validate the sharded program (collectives, layouts, weak-scaling
+shapes) but CANNOT show real speedup — efficiency numbers are only
+meaningful on real multi-chip hardware.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1940)
+    ap.add_argument("--snps-per-device", type=int, default=4096)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force an N-device virtual CPU mesh (the axon "
+                         "TPU plugin ignores JAX_PLATFORMS, so this sets "
+                         "jax.config before backend init)")
+    a = ap.parse_args()
+
+    if a.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") +
+            f" --xla_force_host_platform_device_count={a.cpu}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from gemma_tpu.parallel.mesh import make_mesh
+    from gemma_tpu.parallel.shard import sharded_rotate_and_assoc
+
+    n = a.n
+    total_dev = len(jax.devices())
+    dtype = (jnp.float32 if jax.default_backend() in ("tpu", "axon")
+             else jnp.float64)
+
+    rng = np.random.default_rng(0)
+    eval_ = np.sort(np.abs(rng.gamma(1.5, 1.2, n)))
+    eval_[:2] = 0.0
+    UtW = rng.normal(0.9, 0.2, size=(n, 1))
+    Uty = rng.normal(size=n) * np.sqrt(2.0 * eval_ + 1.0)
+    U = np.linalg.qr(rng.normal(size=(n, n)))[0]
+
+    args_d = (jnp.asarray(eval_, dtype), jnp.asarray(UtW, dtype),
+              jnp.asarray(Uty, dtype), jnp.asarray(U, dtype))
+    l_null = jnp.asarray(1.0, dtype)
+    logl_null = jnp.asarray(-2000.0, dtype)
+
+    base = None
+    counts = [d for d in (1, 2, 4, 8, 16, 32, 64) if d <= total_dev]
+    for d in counts:
+        mesh = make_mesh(d, axis_names=("snp",))
+        fn = sharded_rotate_and_assoc(mesh, n_cvt=1, mode=1)
+        S = a.snps_per_device * d
+        X = jnp.asarray(rng.binomial(
+            2, 0.3, size=(S, n)).astype(np.float32), dtype)
+
+        out = fn(*args_d, X, l_null, logl_null)
+        out.p_wald.block_until_ready()
+        t0 = time.time()
+        for _ in range(a.reps):
+            out = fn(*args_d, X, l_null, logl_null)
+        out.p_wald.block_until_ready()
+        dt = (time.time() - t0) / a.reps
+
+        sps = S / dt
+        if base is None:
+            base = sps
+        eff = sps / (base * d)
+        print(json.dumps({
+            "devices": d, "snps_per_sec": round(sps, 1),
+            "scaling_efficiency": round(eff, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()
