@@ -20,7 +20,7 @@ from gemma_tpu.io.readers import (
     read_pheno, read_covariates, read_anno, read_snp_set, read_gxe,
     read_weights,
 )
-from gemma_tpu.io.qc import run_qc, QcResult
+from gemma_tpu.io.qc import run_qc, run_qc_blocked, QcResult
 from gemma_tpu.io.tables import GenotypeData, SnpTable
 
 
@@ -235,8 +235,8 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
         mask = None
         if snp_set is not None:
             mask = np.array([rs in snp_set for rs in geno.snps.rs])
-        qc = run_qc(
-            geno.X[:, indicator_idv], W,
+        qc = run_qc_blocked(
+            geno, indicator_idv, W, block_size=max(cfg.block_size, 8192),
             miss_level=cfg.miss_level, maf_level=cfg.maf_level,
             hwe_level=cfg.hwe_level, r2_level=cfg.r2_level,
             snp_set_mask=mask, plink_poly=is_plink)

@@ -82,9 +82,58 @@ def read_bed_matrix(path: str, n_individuals: int, n_snps: int) -> np.ndarray:
     return decoded.reshape(n_snps, n_bytes * 4)[:, :n_individuals]
 
 
+class LazyBedGenotypes:
+    """GenotypeData-compatible streaming .bed backend.
+
+    The packed 2-bit byte matrix stays memory-mapped; `block(sel)`
+    decodes the requested SNP rows on demand, so block-structured
+    passes (QC, kinship accumulation, association batching) never
+    materialise the (p, n) float matrix — the ingestion posture the
+    TPU rebuild needs at biobank scale (SURVEY §7.3 hard part 4).
+    Accessing `.X` still materialises for legacy callers."""
+
+    def __init__(self, snps: SnpTable, path: str, n_individuals: int):
+        self.snps = snps
+        self._n = n_individuals
+        n_bytes = (n_individuals + 3) // 4
+        raw = np.memmap(path, dtype=np.uint8, mode="r")
+        if raw[:3].tolist() != [0x6C, 0x1B, 0x01]:
+            raise ValueError(f"{path}: not a SNP-major PLINK .bed file")
+        self._body = raw[3:3 + len(snps) * n_bytes].reshape(
+            len(snps), n_bytes)
+        self._X = None
+
+    @property
+    def n_snps(self) -> int:
+        return self._body.shape[0]
+
+    @property
+    def n_individuals(self) -> int:
+        return self._n
+
+    def block(self, sel) -> np.ndarray:
+        decoded = _BYTE_LUT[self._body[sel]]
+        return decoded.reshape(len(sel), -1)[:, :self._n]
+
+    @property
+    def X(self) -> np.ndarray:
+        if self._X is None:
+            self._X = self.block(np.arange(self.n_snps))
+        return self._X
+
+    def iter_blocks(self, block_size: int, snp_mask=None):
+        idx = np.arange(self.n_snps)
+        if snp_mask is not None:
+            idx = idx[snp_mask]
+        for s in range(0, len(idx), block_size):
+            sel = idx[s:s + block_size]
+            yield sel, self.block(sel)
+
+
 def read_plink(bfile_prefix: str, p_columns=(1,)):
-    """Read .bim/.fam/.bed; returns (GenotypeData, ids, pheno)."""
+    """Read .bim/.fam and attach the lazy .bed backend; returns
+    (LazyBedGenotypes, ids, pheno)."""
     snps = read_bim(bfile_prefix + ".bim")
     ids, pheno = read_fam(bfile_prefix + ".fam", p_columns)
-    X = read_bed_matrix(bfile_prefix + ".bed", len(ids), len(snps))
-    return GenotypeData(snps=snps, X=X), ids, pheno
+    geno = LazyBedGenotypes(snps, bfile_prefix + ".bed", len(ids))
+    return geno, ids, pheno

@@ -102,3 +102,24 @@ def run_qc(X_test: np.ndarray, W: np.ndarray,
     return QcResult(indicator_snp=keep, n_miss=n_miss.astype(np.int64),
                     missingness=missingness, maf=maf,
                     n_idv=n_obs.astype(np.int64))
+
+
+def run_qc_blocked(geno, indicator_idv: np.ndarray, W: np.ndarray,
+                   block_size: int = 8192, snp_set_mask=None,
+                   **kw) -> QcResult:
+    """Blockwise run_qc over a (possibly streaming) genotype backend:
+    per-SNP statistics are independent, so each block's QcResult
+    concatenates exactly (the full matrix never materialises)."""
+    parts = []
+    for s in range(0, geno.n_snps, block_size):
+        sel = np.arange(s, min(s + block_size, geno.n_snps))
+        mask = snp_set_mask[sel] if snp_set_mask is not None else None
+        X_blk = geno.block(sel)[:, indicator_idv]
+        parts.append(run_qc(X_blk, W, snp_set_mask=mask, **kw))
+    return QcResult(
+        indicator_snp=np.concatenate([p.indicator_snp for p in parts]),
+        n_miss=np.concatenate([p.n_miss for p in parts]),
+        missingness=np.concatenate([p.missingness for p in parts]),
+        maf=np.concatenate([p.maf for p in parts]),
+        n_idv=np.concatenate([p.n_idv for p in parts]),
+    )

@@ -63,6 +63,10 @@ class GenotypeData:
     def n_individuals(self) -> int:
         return self.X.shape[1]
 
+    def block(self, sel) -> np.ndarray:
+        """Decode/slice the rows `sel` (backend-agnostic accessor)."""
+        return self.X[sel]
+
     def iter_blocks(self, block_size: int, snp_mask: np.ndarray | None = None):
         """Yield (snp_indices, raw_block) over (optionally masked) SNPs."""
         idx = np.arange(self.n_snps)
@@ -70,4 +74,4 @@ class GenotypeData:
             idx = idx[snp_mask]
         for s in range(0, len(idx), block_size):
             sel = idx[s:s + block_size]
-            yield sel, self.X[sel]
+            yield sel, self.block(sel)

@@ -255,7 +255,6 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     stats = {k: [] for k in ("beta", "se", "lambda_remle", "lambda_mle",
                              "p_wald", "p_lrt", "p_score", "logl_H1")}
 
-    X_test = ds.geno.X[:, ds.indicator_idv]
     mode = cfg.a_mode
     is_gxe = ds.gxe is not None
     if is_gxe:
@@ -267,7 +266,7 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         bs = gxe_block if is_gxe else cfg.block_size
         for s in range(0, len(idx), bs):
             sel = idx[s:s + bs]
-            raw = impute_mean(X_test[sel])
+            raw = impute_mean(ds.geno.block(sel)[:, ds.indicator_idv])
             k = len(sel)
             if is_gxe:
                 # GXE: flip to minor-allele coding when mean > 1
@@ -366,7 +365,6 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
                               for j in range(i + 1)))
 
     idx = _assoc_snp_indices(ds)
-    X_test = ds.geno.X[:, ds.indicator_idv]
     block = min(cfg.block_size, 256 if is_gxe else 1024)
 
     outs = dict(p_wald=[], p_lrt=[], p_score=[], beta=[], Vbeta=[])
@@ -374,7 +372,7 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     with log.timer.phase("opt"):
         for s in range(0, len(idx), block):
             sel = idx[s:s + block]
-            raw = impute_mean(X_test[sel])
+            raw = impute_mean(ds.geno.block(sel)[:, ds.indicator_idv])
             k = len(sel)
             if is_gxe:
                 # minor-allele flip (mvlmm.cpp:4254-4258); beta sign
@@ -458,7 +456,6 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         return dict(stats=gstats, gene_ids=gene_ids, dataset=ds)
 
     idx = _assoc_snp_indices(ds)
-    X_test = ds.geno.X[:, ds.indicator_idv]
 
     mode = cfg.a_mode  # 51..54
     names = ("beta", "se", "p_wald", "p_lrt", "p_score")
@@ -466,7 +463,7 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     with log.timer.phase("opt"):
         for s in range(0, len(idx), cfg.block_size):
             sel = idx[s:s + cfg.block_size]
-            raw = impute_mean(X_test[sel])
+            raw = impute_mean(ds.geno.block(sel)[:, ds.indicator_idv])
             block = _pad_block(raw.astype(np.float64), cfg.block_size, 0.0)
             st = lm_block(W, y, jnp.asarray(block, dtype=dtype), mode=mode)
             k = len(sel)
@@ -524,7 +521,7 @@ def run_gs(cfg: GemmaConfig, log: RunLog | None = None):
         if rs2wsnp is not None:
             weights = np.array([wK.get(rs, 0.0) for rs in qc_rs])
 
-    X = ds.geno.X[idx][:, ds.indicator_idv]
+    X = ds.geno.block(idx)[:, ds.indicator_idv]
     with log.timer.phase("kinship"):
         S, Svar, ns = calc_s(X, ds.W, cats, n_vc, weights=weights)
 
@@ -646,7 +643,7 @@ def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
     in_common = np.array([rs in wK for rs in qc_rs])
     cats_used = np.where(in_common, cats, -1)
     wK_arr = np.array([wK.get(rs, 0.0) for rs in qc_rs])
-    X = ds.geno.X[idx][:, ds.indicator_idv]
+    X = ds.geno.block(idx)[:, ds.indicator_idv]
     with log.timer.phase("kinship"):
         S, Svar, ns = calc_s(X, ds.W, cats_used, n_vc,
                              weights=wK_arr if rs2wsnp else None)
@@ -746,7 +743,8 @@ def run_ci(cfg: GemmaConfig, log: RunLog | None = None):
         wA, rs2a1, rs2z, rs2cat)
 
     with log.timer.phase("kinship"):
-        Xs = standardized_genotypes(ds.geno.X[keep_idx][:, ds.indicator_idv])
+        Xs = standardized_genotypes(
+            ds.geno.block(keep_idx)[:, ds.indicator_idv])
         # mode 66 uses unit weights for XWz too (gemma.cpp:2497-2498)
         Xz, XWz, XtXWz = xwz_passes(
             Xs, np.ones_like(w) if cfg.a_mode == 66 else w, z, cat, n_vc)
@@ -871,7 +869,7 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
 
     # centered, mean-imputed genotypes over analyzed individuals
     # (ReadGenotypes second pass, gemma_io.cpp:1742-1838)
-    Xr = impute_mean(ds.geno.X[idx][:, ds.indicator_idv])
+    Xr = impute_mean(ds.geno.block(idx)[:, ds.indicator_idv])
     Xc = Xr - Xr.mean(axis=1, keepdims=True)
 
     y = ds.Y[:, 0].copy()
@@ -1230,7 +1228,7 @@ def run_calccor(cfg: GemmaConfig, log: RunLog | None = None):
     n_nb = calc_neighbours(chr_, pos, cM, window_bp, cfg.window_cm,
                            cfg.window_ns)
 
-    X = ds.geno.X[idx][:, ds.indicator_idv]
+    X = ds.geno.block(idx)[:, ds.indicator_idv]
     var, cors = windowed_correlations(X, n_nb)
 
     rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
