@@ -121,6 +121,14 @@ def parse_args(argv: list) -> GemmaConfig:
     cfg = GemmaConfig()
     i = 0
 
+    def set_mode(mode: int):
+        # only one analysis flag per run (gemma.cpp:1168-1175 etc.)
+        if cfg.a_mode != 0:
+            raise ValueError(
+                "error! only one of -gk -gs -gq -eigen -vc -ci -lm -lmm "
+                "-bslmm -predict -calccor options is allowed.")
+        cfg.a_mode = mode
+
     def take(default=None):
         nonlocal i
         if i + 1 < len(argv) and not _is_flag(argv[i + 1]):
@@ -234,29 +242,29 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.maf_level = -1.0
         elif a == "-gk":
             cfg.gk_mode = int(take(default="1"))
-            cfg.a_mode = 20 + cfg.gk_mode
+            set_mode(20 + cfg.gk_mode)
         elif a == "-eigen":
-            cfg.a_mode = 31
+            set_mode(31)
         elif a in ("-lmm", "-fa"):
-            cfg.a_mode = int(take(default="1"))
+            set_mode(int(take(default="1")))
         elif a == "-lm":
-            cfg.a_mode = 50 + int(take(default="1"))
+            set_mode(50 + int(take(default="1")))
         elif a == "-vc":
-            cfg.a_mode = 60 + int(take(default="1"))
+            set_mode(60 + int(take(default="1")))
         elif a == "-ci":
-            cfg.a_mode = 65 + int(take(default="1"))
+            set_mode(65 + int(take(default="1")))
         elif a == "-gs":
-            cfg.a_mode = 24 + int(take(default="1"))
+            set_mode(24 + int(take(default="1")))
         elif a == "-gq":
-            cfg.a_mode = 26 + int(take(default="1"))
+            set_mode(26 + int(take(default="1")))
         elif a == "-gw":
-            cfg.a_mode = 72
+            set_mode(72)
         elif a == "-calccor":
-            cfg.a_mode = 71
+            set_mode(71)
         elif a == "-bslmm":
-            cfg.a_mode = 10 + int(take(default="1"))
+            set_mode(10 + int(take(default="1")))
         elif a == "-predict":
-            cfg.a_mode = 40 + int(take(default="1"))
+            set_mode(40 + int(take(default="1")))
         elif a == "-lmin":
             cfg.l_min = float(take())
         elif a == "-lmax":
