@@ -157,3 +157,68 @@ class GemmaConfig:
 
     def out_prefix(self) -> str:
         return f"{self.path_out}/{self.file_out}"
+
+
+_VALID_MODES = {1, 2, 3, 4, 5, 9, 11, 12, 13, 14, 15, 21, 22, 25, 26,
+                27, 28, 31, 41, 42, 43, 51, 52, 53, 54, 61, 62, 63, 66,
+                67, 71, 72}
+
+
+def check_param(cfg: GemmaConfig) -> None:
+    """Cross-flag validation (PARAM::CheckParam, param.cpp:504-990):
+    threshold ranges, mode compatibility, LOCO restrictions, required
+    companions for the summary-statistics modes."""
+    import os
+
+    def err(msg):
+        raise ValueError(f"error! {msg}")
+
+    if cfg.k_mode not in (1, 2):
+        err(f"unknown kinship/relatedness input mode: {cfg.k_mode}")
+    if cfg.a_mode not in _VALID_MODES:
+        err(f"unknown analysis mode: {cfg.a_mode}. make sure -gk or "
+            "-eigen or -lmm or -bslmm -predict or -calccov is "
+            "specified correctly.")
+    if cfg.miss_level > 1:
+        err("missing level needs to be between 0 and 1. "
+            f"current value = {cfg.miss_level}")
+    if cfg.maf_level > 0.5:
+        err("maf level needs to be between 0 and 0.5. "
+            f"current value = {cfg.maf_level}")
+    if cfg.hwe_level > 1:
+        err("hwe level needs to be between 0 and 1. "
+            f"current value = {cfg.hwe_level}")
+    if cfg.r2_level > 1:
+        err("r2 level needs to be between 0 and 1. "
+            f"current value = {cfg.r2_level}")
+
+    if cfg.loco:
+        if not (cfg.a_mode in (1, 2, 3, 4, 9, 21, 22)):
+            err("LOCO only works with LMM and K")
+        if cfg.file_gxe:
+            err("LOCO does not support GXE (yet)")
+        if not cfg.file_anno:
+            err("LOCO requires annotation file (-a switch)")
+        if cfg.file_ksnps:
+            err("LOCO does not allow -ksnps switch")
+        if cfg.file_gwasnps:
+            err("LOCO does not allow -gwasnps switch")
+
+    if cfg.a_mode in (66, 67):
+        if not cfg.file_beta:
+            err("-ci requires -beta summary statistics")
+        if not (cfg.file_ref or cfg.file_mref):
+            err("-ci requires -ref or -mref")
+    if cfg.a_mode == 67 and not cfg.file_wcat:
+        err("-ci 2 requires -wcat weights (param.cpp:1238)")
+
+    for name in ("file_geno", "file_pheno", "file_anno", "file_cvt",
+                 "file_kin", "file_mk", "file_ku", "file_kd",
+                 "file_snps", "file_ksnps", "file_gwasnps", "file_gxe",
+                 "file_weight", "file_beta", "file_cat", "file_mcat",
+                 "file_wsnp", "file_wcat", "file_epm", "file_ebv",
+                 "file_gene", "file_hyp", "file_bf", "file_mgeno",
+                 "file_mbfile", "file_mstudy", "file_mref"):
+        path = getattr(cfg, name)
+        if path and not os.path.exists(path):
+            err(f"fail to open {name.replace('file_', '-')} file: {path}")

@@ -1248,6 +1248,8 @@ def run_calccor(cfg: GemmaConfig, log: RunLog | None = None):
 
 def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     """Mode dispatch (GEMMA::BatchRun, gemma.cpp:1641)."""
+    from gemma_tpu.config import check_param
+    check_param(cfg)
     log = RunLog(argv=argv or ["gemma-tpu"])
     if cfg.trace_dir:
         # device-level profiling (the `make profile` analogue,
