@@ -273,10 +273,25 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
     sign_change = d1[:-1] * d1[1:] <= 0.0           # (G, S)
     num_changes = jnp.sum(sign_change, axis=0)      # (S,)
 
-    # per-lane bracket order: sign-change intervals first, by interval id
-    key = jnp.where(sign_change, jnp.arange(n_region)[:, None],
-                    n_region)                       # (G, S)
-    order = jnp.argsort(key, axis=0)                # (G, S)
+    # j-th sign-change interval per lane via cumulative counts and a
+    # one-hot contraction (no argsort/gather — Pallas-lowerable and
+    # cheaper than sorting an index key)
+    csum = jnp.cumsum(sign_change.astype(jnp.int32), axis=0)  # (G, S)
+    g_iota = jnp.arange(n_region, dtype=jnp.int32)[:, None]   # (G, 1)
+    gp_iota = jnp.arange(n_region + 1)[:, None]               # (G+1, 1)
+
+    def bracket_at(j):
+        """(lo, hi, flo, fhi) of each lane's j-th sign-change interval;
+        lanes with fewer changes get unused dummies."""
+        onehot = (sign_change & (csum == j + 1)).astype(d1.dtype)
+        iv = jnp.sum(g_iota * onehot.astype(jnp.int32), axis=0)  # (S,)
+        sel_lo = (gp_iota == iv[None, :]).astype(d1.dtype)       # (G+1, S)
+        sel_hi = (gp_iota == iv[None, :] + 1).astype(d1.dtype)
+        lo = jnp.sum(grid[:, None] * sel_lo, axis=0)
+        hi = jnp.sum(grid[:, None] * sel_hi, axis=0)
+        flo = jnp.sum(d1 * sel_lo, axis=0)
+        fhi = jnp.sum(d1 * sel_hi, axis=0)
+        return lo, hi, flo, fhi
 
     neg_inf = jnp.full((S,), -jnp.inf, dtype=dtype)
 
@@ -303,13 +318,7 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
 
     def outer_body(cy: _Carry):
         active = (cy.j < num_changes) & ~cy.stopped & ~cy.failed
-        iv = jax.lax.dynamic_index_in_dim(order, cy.j, axis=0,
-                                          keepdims=False)       # (S,)
-        lo = grid[iv]
-        hi = grid[iv + 1]
-        lane = jnp.arange(S)
-        flo = d1[iv, lane]
-        fhi = d1[iv + 1, lane]
+        lo, hi, flo, fhi = bracket_at(cy.j)
 
         root_b, brent_conv, brent_cap = _brent_batched(
             f_dev1, lo, hi, flo, fhi, active)
