@@ -156,6 +156,7 @@ def _base_rows_multi(hi, data: LmmBatchData, n_cvt: int, order: int):
     return rows
 
 
+
 def _pab_rows(row0, n_cvt: int):
     """CalcPab recurrence: eliminate covariates 1..n_cvt then x.
 
@@ -168,7 +169,7 @@ def _pab_rows(row0, n_cvt: int):
         ab = prev
         aw = prev[..., idx.aw[p - 1]]
         bwv = prev[..., idx.bw[p - 1]]
-        ww = prev[..., idx.ww[p - 1]][..., None]
+        ww = prev[..., int(idx.ww[p - 1])][..., None]
         safe = jnp.where(ww != 0.0, ww, 1.0)
         rows.append(jnp.where(ww != 0.0, ab - aw * bwv / safe, ab))
     return rows
@@ -183,11 +184,11 @@ def _ppab_rows(row0_pp, pab, n_cvt: int):
         prev1 = pab[p - 1]
         ps_aw = prev1[..., idx.aw[p - 1]]
         ps_bw = prev1[..., idx.bw[p - 1]]
-        ps_ww = prev1[..., idx.ww[p - 1]][..., None]
+        ps_ww = prev1[..., int(idx.ww[p - 1])][..., None]
         ps2_ab = prev2
         ps2_aw = prev2[..., idx.aw[p - 1]]
         ps2_bw = prev2[..., idx.bw[p - 1]]
-        ps2_ww = prev2[..., idx.ww[p - 1]][..., None]
+        ps2_ww = prev2[..., int(idx.ww[p - 1])][..., None]
         safe = jnp.where(ps_ww != 0.0, ps_ww, 1.0)
         val = (ps2_ab + ps_aw * ps_bw * ps2_ww / (safe * safe)
                - (ps_aw * ps2_bw + ps_bw * ps2_aw) / safe)
@@ -205,14 +206,14 @@ def _pppab_rows(row0_ppp, pab, ppab, n_cvt: int):
         prev2 = ppab[p - 1]
         ps_aw = prev1[..., idx.aw[p - 1]]
         ps_bw = prev1[..., idx.bw[p - 1]]
-        ps_ww = prev1[..., idx.ww[p - 1]][..., None]
+        ps_ww = prev1[..., int(idx.ww[p - 1])][..., None]
         ps2_aw = prev2[..., idx.aw[p - 1]]
         ps2_bw = prev2[..., idx.bw[p - 1]]
-        ps2_ww = prev2[..., idx.ww[p - 1]][..., None]
+        ps2_ww = prev2[..., int(idx.ww[p - 1])][..., None]
         ps3_ab = prev3
         ps3_aw = prev3[..., idx.aw[p - 1]]
         ps3_bw = prev3[..., idx.bw[p - 1]]
-        ps3_ww = prev3[..., idx.ww[p - 1]][..., None]
+        ps3_ww = prev3[..., int(idx.ww[p - 1])][..., None]
         safe = jnp.where(ps_ww != 0.0, ps_ww, 1.0)
         val = (ps3_ab
                - ps_aw * ps_bw * ps2_ww * ps2_ww / (safe * safe * safe)

@@ -248,7 +248,7 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
     p-value tolerance — and a lane whose Newton polish fails falls
     back to its Brent bracket root instead of NaN.
     """
-    S = data.Utx.shape[0]
+    lanes = data.Utx.shape[:-1]   # usually (S,); kernels may use 2-D
     dtype = data.eval.dtype
     strict = dtype == jnp.float64
     newton_epsrel = _NEWTON_EPSREL if strict else 5e-4
@@ -265,35 +265,38 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
     # 1. grid scan of dev1 signs (lmm.cpp:1967-1982)
     step = np.log(l_max / l_min) / n_region
     grid_np = l_min * np.exp(step * np.arange(n_region + 1))
-    grid = jnp.asarray(grid_np, dtype=dtype)
     # grid lambdas are python constants here, so XLA constant-folds the
     # per-point weight vectors and fuses the whole scan
-    d1_rows = [f_dev1(jnp.full((S,), g, dtype=dtype)) for g in grid_np]
+    d1_rows = [f_dev1(jnp.full(lanes, g, dtype=dtype)) for g in grid_np]
     d1 = jnp.stack(d1_rows)                         # (G+1, S)
     sign_change = d1[:-1] * d1[1:] <= 0.0           # (G, S)
     num_changes = jnp.sum(sign_change, axis=0)      # (S,)
 
     # j-th sign-change interval per lane via cumulative counts and a
-    # one-hot contraction (no argsort/gather — Pallas-lowerable and
-    # cheaper than sorting an index key)
+    # one-hot contraction (no argsort/gather)
+    grid = jnp.asarray(grid_np, dtype=dtype)
     csum = jnp.cumsum(sign_change.astype(jnp.int32), axis=0)  # (G, S)
-    g_iota = jnp.arange(n_region, dtype=jnp.int32)[:, None]   # (G, 1)
-    gp_iota = jnp.arange(n_region + 1)[:, None]               # (G+1, 1)
+    lane_nd = sign_change.ndim - 1
+    g_iota = jnp.arange(n_region, dtype=jnp.int32).reshape(
+        (n_region,) + (1,) * lane_nd)
+    gp_iota = jnp.arange(n_region + 1).reshape(
+        (n_region + 1,) + (1,) * lane_nd)
+    grid_col = grid.reshape((n_region + 1,) + (1,) * lane_nd)
 
     def bracket_at(j):
         """(lo, hi, flo, fhi) of each lane's j-th sign-change interval;
         lanes with fewer changes get unused dummies."""
         onehot = (sign_change & (csum == j + 1)).astype(d1.dtype)
-        iv = jnp.sum(g_iota * onehot.astype(jnp.int32), axis=0)  # (S,)
-        sel_lo = (gp_iota == iv[None, :]).astype(d1.dtype)       # (G+1, S)
-        sel_hi = (gp_iota == iv[None, :] + 1).astype(d1.dtype)
-        lo = jnp.sum(grid[:, None] * sel_lo, axis=0)
-        hi = jnp.sum(grid[:, None] * sel_hi, axis=0)
+        iv = jnp.sum(g_iota * onehot.astype(jnp.int32), axis=0)
+        sel_lo = (gp_iota == iv[None]).astype(d1.dtype)
+        sel_hi = (gp_iota == iv[None] + 1).astype(d1.dtype)
+        lo = jnp.sum(grid_col * sel_lo, axis=0)
+        hi = jnp.sum(grid_col * sel_hi, axis=0)
         flo = jnp.sum(d1 * sel_lo, axis=0)
         fhi = jnp.sum(d1 * sel_hi, axis=0)
         return lo, hi, flo, fhi
 
-    neg_inf = jnp.full((S,), -jnp.inf, dtype=dtype)
+    neg_inf = jnp.full(lanes, -jnp.inf, dtype=dtype)
 
     class _Carry(NamedTuple):
         j: jax.Array
@@ -306,10 +309,10 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
     carry0 = _Carry(
         j=jnp.zeros((), jnp.int32),
         best_logf=neg_inf,
-        best_lam=jnp.full((S,), np.nan, dtype=dtype),
-        has_cand=jnp.zeros((S,), bool),
-        failed=jnp.zeros((S,), bool),
-        stopped=jnp.zeros((S,), bool),
+        best_lam=jnp.full(lanes, np.nan, dtype=dtype),
+        has_cand=jnp.zeros(lanes, bool),
+        failed=jnp.zeros(lanes, bool),
+        stopped=jnp.zeros(lanes, bool),
     )
 
     def outer_cond(cy: _Carry):
@@ -354,8 +357,8 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
     cy = jax.lax.while_loop(outer_cond, outer_body, carry0)
 
     # endpoint comparison (lmm.cpp:1985-2000 and 2121-2136)
-    logf_lmin = f_logf(jnp.full((S,), l_min, dtype=dtype))
-    logf_lmax = f_logf(jnp.full((S,), l_max, dtype=dtype))
+    logf_lmin = f_logf(jnp.full(lanes, l_min, dtype=dtype))
+    logf_lmax = f_logf(jnp.full(lanes, l_max, dtype=dtype))
 
     best_logf, best_lam = cy.best_logf, cy.best_lam
     take_min = logf_lmin > best_logf
@@ -365,7 +368,7 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
     best_logf = jnp.where(take_max, logf_lmax, best_logf)
     best_lam = jnp.where(take_max, l_max, best_lam)
 
-    nan = jnp.full((S,), np.nan, dtype=dtype)
+    nan = jnp.full(lanes, np.nan, dtype=dtype)
     best_logf = jnp.where(cy.failed, nan, best_logf)
     best_lam = jnp.where(cy.failed, nan, best_lam)
     return LambdaResult(lam=best_lam, logf=best_logf)
