@@ -24,3 +24,31 @@ Layering (bottom → top):
 __version__ = "0.1.0"
 
 VERSION_BANNER = f"gemma-tpu {__version__}"
+
+
+def _enable_persistent_compile_cache():
+    """Persistent XLA compilation cache: a CLI run is a fresh process,
+    so without this every invocation repays jit compilation (the
+    autodiff mvLMM Newton alone costs ~minutes to build).  Opt out
+    with GEMMA_TPU_NO_CACHE=1."""
+    import os
+    if os.environ.get("GEMMA_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+        path = os.environ.get(
+            "GEMMA_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "gemma_tpu",
+                         "xla"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # the axon remote-compile tunnel costs ~0.4s even for tiny
+        # eager ops, so cache everything
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()

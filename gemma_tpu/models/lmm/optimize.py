@@ -235,6 +235,10 @@ class LambdaResult(NamedTuple):
     logf: jax.Array  # (S,)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_cvt", "calc_null", "reml", "l_min", "l_max",
+                     "n_region"))
 def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
                 reml: bool, l_min: float, l_max: float,
                 n_region: int) -> LambdaResult:

@@ -137,6 +137,8 @@ class EmState(NamedTuple):
     t: jax.Array
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("reml", "max_iter", "prec"))
 def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
            Vg0, Ve0, B0):
     """Batched PX-EM for (Vg, Ve, B) (MphEM, mvlmm.cpp:599-724).
@@ -311,6 +313,8 @@ class NrState(NamedTuple):
     t: jax.Array
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("reml", "max_iter", "prec"))
 def mph_nr(reml: bool, max_iter: int, prec: float, eval_, X, Y, Vg0, Ve0):
     """Batched Newton-Raphson on vech(Vg, Ve) with GEMMA's step-halving
     and acceptance rules (MphNR, mvlmm.cpp:2661-2740).
@@ -457,6 +461,7 @@ def mph_calc_p(eval_, x, W, Y, Vg, Ve):
     return stat, beta, Vbeta
 
 
+@jax.jit
 def mph_calc_beta(eval_, W, Y, Vg, Ve):
     """Null-model B and se(B) (MphCalcBeta, mvlmm.cpp:835-935).
 
