@@ -8,7 +8,7 @@ Defaults mirror GEMMA's help text (gemma.cpp:451-696).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 # analysis mode numbers (gemma.h:28-47)
 M_LMM1, M_LMM2, M_LMM3, M_LMM4, M_LMM5, M_LMM9 = 1, 2, 3, 4, 5, 9

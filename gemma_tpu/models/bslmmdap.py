@@ -14,7 +14,6 @@ computation — no loops, no Choleskies.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

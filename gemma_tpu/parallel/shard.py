@@ -13,7 +13,6 @@ The moral equivalent of the reference's 20k-SNP dgemm batching
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

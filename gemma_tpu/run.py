@@ -26,7 +26,7 @@ from gemma_tpu.models.lm import lm_block
 from gemma_tpu.ops.center import center_matrix
 from gemma_tpu.ops.eigh import eigh_zeroed, zero_eigenvalues
 from gemma_tpu.ops.kinship import KinshipAccumulator
-from gemma_tpu.utils.log import RunLog, PhaseTimer
+from gemma_tpu.utils.log import RunLog
 from gemma_tpu.utils.validate import validate_kinship
 
 
