@@ -27,7 +27,6 @@ GSL_RNG_SEED smoke values, not analytic goldens).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import NamedTuple
 

@@ -23,7 +23,6 @@ carry leading batch axes (e.g. a grid axis for the interval scan).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
