@@ -6,17 +6,28 @@ negatives — before everything downstream (lapack.cpp
 `EigenDecomp_Zeroed`:260-291).  The returned trace is the mean of the
 *zeroed* eigenvalues.
 
-On a single chip this maps to `jnp.linalg.eigh` (XLA's QR-based
-symmetric eigensolver).  For pod-scale n the distributed path lives in
+Backend policy: XLA's TPU eigensolver is iteration-bound and far off
+speed-of-light (measured ~90s at n=2048 on v5e vs ~1s for host LAPACK
+at n=1940), so on TPU backends the decomposition runs on the host in
+float64 — the same dsyevd-class solver the reference uses
+(lapack.cpp:205-222) — and only the factors move to the device, where
+all the matmul-heavy work happens.  On CPU backends `jnp.linalg.eigh`
+is LAPACK anyway.  For pod-scale n the distributed path lives in
 `gemma_tpu.parallel.eigh`.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 EIGEN_MINVALUE = 1e-10
+
+
+def _use_host_eigh() -> bool:
+    return jax.default_backend() not in ("cpu",)
 
 
 def eigh_zeroed(G):
@@ -26,6 +37,12 @@ def eigh_zeroed(G):
     eigenvalues), the quantity GEMMA threads through PVE estimates.
     Eigenvalues ascend, matching LAPACK/GEMMA ordering.
     """
+    if _use_host_eigh():
+        dtype = G.dtype
+        w, V = np.linalg.eigh(np.asarray(G, dtype=np.float64))
+        eval_ = jnp.asarray(np.where(w < EIGEN_MINVALUE, 0.0, w), dtype)
+        U = jnp.asarray(V, dtype)
+        return eval_, U, jnp.mean(eval_)
     eval_, U = jnp.linalg.eigh(G)
     eval_ = jnp.where(eval_ < EIGEN_MINVALUE, 0.0, eval_)
     trace_G = jnp.mean(eval_)
