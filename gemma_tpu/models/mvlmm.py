@@ -54,8 +54,8 @@ def mph_initial(eval_, X, Y, l_min=1e-5, l_max=1e5, n_region=10,
 
     if d > 4:
         # pairwise two-trait refits for off-diagonals (mvlmm.cpp:2805-2884)
-        Vg = np.asarray(Vg)
-        Ve = np.asarray(Ve)
+        Vg = np.array(Vg)       # writable host copies
+        Ve = np.array(Ve)
         for i in range(d):
             for j in range(i + 1, d):
                 Ys = jnp.stack([Y[i], Y[j]])

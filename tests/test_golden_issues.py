@@ -81,3 +81,30 @@ def test_issue243_mvlmm_2traits(tmp_path):
     assert len(p) > 100
     assert np.all(np.isfinite(p))
     assert np.all((p >= 0) & (p <= 1))
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{DATA}/correlated_phenotypes/Genotypes_gemma.csv"),
+    reason="correlated_phenotypes data not available")
+def test_correlated_phenotypes_5trait_mvlmm(tmp_path):
+    """issue179 regression data: 5-phenotype mvLMM over 100 SNPs,
+    n=1000 (dev_test_suite.sh:197-206; golden = 101 output rows).
+    The shipped eigenvector file is absent from this snapshot, so the
+    kinship is rebuilt from the genotypes with -gk (the matching
+    eigenvalue spectrum confirms equivalence up to rotation)."""
+    out = str(tmp_path)
+    d = f"{DATA}/correlated_phenotypes"
+    cfg = parse_args(
+        f"-g {d}/Genotypes_gemma.csv -p {d}/Ysim_reg_gemma.txt "
+        f"-gk -notsnp -outdir {out} -precision float64 -o cp".split())
+    run_gk(cfg)
+    cfg2 = parse_args(
+        f"-g {d}/Genotypes_gemma.csv -p {d}/Ysim_reg_gemma.txt "
+        f"-k {out}/cp.cXX.txt -lmm 2 -n 1 9 4 6 10 -notsnp "
+        f"-outdir {out} -precision float64 -no-check -o cp".split())
+    res = run_mvlmm(cfg2)
+    p = res["stats"]["p_lrt"]
+    out_lines = (tmp_path / "cp.assoc.txt").read_text().splitlines()
+    assert len(out_lines) == len(p) + 1
+    assert np.all(np.isfinite(p))
+    assert np.all((p >= 0) & (p <= 1))
