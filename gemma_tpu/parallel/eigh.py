@@ -28,6 +28,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _leaf_eigh(A):
+    """Leaf solver: on TPU backends XLA's eigensolver is iteration-
+    bound and ~90x slower than LAPACK at these sizes, so leaves run on
+    the host (the splits above remain device matmul/QR work)."""
+    if jax.default_backend() not in ("cpu",):
+        w, V = np.linalg.eigh(np.asarray(A, dtype=np.float64))
+        return jnp.asarray(w, A.dtype), jnp.asarray(V, A.dtype)
+    return jnp.linalg.eigh(A)
+
+
 def _polar_projector(A, sigma):
     """P projecting onto the eigenspace of A with eigenvalues > sigma."""
     n = A.shape[0]
@@ -55,7 +65,7 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0):
     if key is None:
         key = jax.random.PRNGKey(0)
     if n <= min_block or _depth > 40:
-        return jnp.linalg.eigh(A)
+        return _leaf_eigh(A)
 
     diag = jnp.diag(A)
     sigma = jnp.median(diag)
@@ -68,7 +78,7 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0):
         Pproj = _polar_projector(A, sigma)
         k = int(np.clip(int(jnp.round(jnp.trace(Pproj))), 0, n))
         if k == 0 or k == n:
-            return jnp.linalg.eigh(A)   # effectively degenerate block
+            return _leaf_eigh(A)   # effectively degenerate block
 
     key, k1, k2, k3 = jax.random.split(key, 4)
     V1, V2 = _split_basis(Pproj, k, k1)
