@@ -24,3 +24,9 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu", (
     "tests must run on the CPU backend; got " + jax.default_backend())
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (skipped by "
+        "`make fast-check`)")

@@ -83,6 +83,7 @@ def test_issue243_mvlmm_2traits(tmp_path):
     assert np.all((p >= 0) & (p <= 1))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(
     not os.path.exists(f"{DATA}/correlated_phenotypes/Genotypes_gemma.csv"),
     reason="correlated_phenotypes data not available")

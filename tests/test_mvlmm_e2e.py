@@ -23,6 +23,7 @@ ISSUE243 = "/root/reference/test/data/issue243/multivariate_2traits"
 
 @pytest.mark.skipif(not os.path.exists(f"{EXAMPLE}/BXD_geno.txt.gz"),
                     reason="BXD data not available")
+@pytest.mark.slow
 def test_mvlmm_d1_matches_univariate_null(tmp_path):
     out = str(tmp_path)
     common = (f"-g {EXAMPLE}/BXD_geno.txt.gz -p {EXAMPLE}/BXD_pheno.txt "
