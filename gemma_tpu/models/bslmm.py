@@ -422,7 +422,7 @@ def run_mcmc(UtX_sorted, Uty, eval_, trace_G, settings: BslmmSettings,
              h0: float, rho0: float, logp0: float, n_gamma0: int,
              seed: int = 0, U=None, y_labels=None,
              checkpoint_path: str | None = None,
-             checkpoint_every: int = 0):
+             checkpoint_every: int = 0, on_segment=None):
     """Run the full chain on device.  Returns the final ChainState."""
     n, p = UtX_sorted.shape
     dtype = UtX_sorted.dtype
@@ -492,6 +492,12 @@ def run_mcmc(UtX_sorted, Uty, eval_, trace_G, settings: BslmmSettings,
         tmp = checkpoint_path + ".tmp.npz"
         np.savez(tmp, **payload)
         os.replace(tmp, checkpoint_path)
+        if on_segment is not None:
+            # incremental result flush — the reference writes partial
+            # .hyp.txt every w_pace records (bslmm.cpp:1113-1155); on
+            # TPU the chain runs whole segments on device, so the
+            # flush granularity is the checkpoint segment
+            on_segment(state)
     return state
 
 

@@ -1005,6 +1005,17 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
     log.extra.append(f"initial value of pi = {np.exp(logp0):.6g}")
     log.extra.append(f"initial value of |gamma| = {n_gamma0}")
 
+    def _flush_partial(state):
+        w_now = int(state.w)
+        if w_now <= 0:
+            return
+        write_bslmm_hyp(f"{cfg.out_prefix()}.hyp.txt",
+                        np.asarray(state.rec_hyp)[:w_now])
+        ranks_now = np.asarray(state.rec_gamma)[:w_now]
+        write_bslmm_gamma(
+            f"{cfg.out_prefix()}.gamma.txt",
+            np.where(ranks_now > 0, order[ranks_now - 1] + 1, 0), st.s_max)
+
     with log.timer.phase("opt"):
         final = run_mcmc(UtX_sorted, Uty, eval_, jnp.asarray(trace_G, dtype),
                          st, h0, rho0, logp0, n_gamma0,
@@ -1012,7 +1023,8 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
                          U=Ud if cfg.a_mode == 13 else None,
                          y_labels=yd if cfg.a_mode == 13 else None,
                          checkpoint_path=f"{cfg.out_prefix()}.mcmc.ckpt.npz",
-                         checkpoint_every=cfg.checkpoint_every)
+                         checkpoint_every=cfg.checkpoint_every,
+                         on_segment=_flush_partial)
         final.rec_hyp.block_until_ready()
 
     w = int(final.w)
