@@ -365,7 +365,7 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
                               for j in range(i + 1)))
 
     idx = _assoc_snp_indices(ds)
-    block = min(cfg.block_size, 256 if is_gxe else 1024)
+    block = min(cfg.block_size, 256 if is_gxe else 2048)
 
     outs = dict(p_wald=[], p_lrt=[], p_score=[], beta=[], Vbeta=[])
     mode = cfg.a_mode
