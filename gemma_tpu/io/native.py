@@ -89,3 +89,22 @@ def parse_bimbam(path: str):
     a1 = _fixed(a1_buf, _ALLELE_LEN, p)
     a0 = _fixed(a0_buf, _ALLELE_LEN, p)
     return rs, a1, a0, X
+
+
+def write_matrix_g10(path: str, M) -> bool:
+    """Native %.10g tab-separated matrix writer; False if the library
+    is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_wm_ready"):
+        lib.write_matrix_g10.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64]
+        lib.write_matrix_g10.restype = ctypes.c_int
+        lib._wm_ready = True
+    M = np.ascontiguousarray(M, dtype=np.float64)
+    rows, cols = (M.shape[0], M.shape[1]) if M.ndim == 2 else (1, M.shape[0])
+    return lib.write_matrix_g10(path.encode(), M.reshape(rows, cols),
+                                rows, cols) == 0

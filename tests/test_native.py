@@ -46,3 +46,16 @@ def test_native_handles_na_and_commas(tmp_path):
     assert rs == ["rs1", "rs2"]
     np.testing.assert_allclose(X[0, [0, 2]], [0.5, 2.0])
     assert np.isnan(X[0, 1]) and np.isnan(X[1, 2])
+
+
+def test_native_matrix_writer_byte_identity(tmp_path):
+    """write_matrix (native or savetxt) is byte-identical to the
+    per-cell %.10g formatting GEMMA's WriteMatrix produces."""
+    from gemma_tpu.io.writers import write_matrix
+    rng = np.random.default_rng(5)
+    M = np.concatenate([rng.normal(size=(20, 40)),
+                        np.array([[0.0, 1.0, -1e-12, 3e8] * 10])])
+    p1 = tmp_path / "a.txt"
+    write_matrix(str(p1), M)
+    ref_lines = ["\t".join(f"{v:.10g}" for v in row) for row in M]
+    assert p1.read_text().splitlines() == ref_lines
