@@ -103,6 +103,8 @@ class LazyBedGenotypes:
             len(snps), n_bytes)
         self._X = None
 
+    integral_dosages = True      # .bed dosages are always {0,1,2,NA}
+
     @property
     def n_snps(self) -> int:
         return self._body.shape[0]

@@ -109,8 +109,20 @@ def read_kinship(path: str, indicator_idv: np.ndarray,
     ni_test = int(indicator_idv.sum())
 
     if k_mode == 1:
-        rows = []
         keep = np.flatnonzero(indicator_idv)
+        # fast path: pandas' C tokenizer handles the (GB-scale at
+        # n=10k+) dense matrix ~20x faster than per-line parsing;
+        # fall back for exotic separators / malformed files
+        try:
+            import pandas as pd
+            df = pd.read_csv(path, sep=r"\s+", header=None,
+                             dtype=np.float64, engine="c")
+            M = df.to_numpy()
+            if M.shape == (ni_total, ni_total):
+                return np.ascontiguousarray(M[np.ix_(keep, keep)])
+        except Exception:
+            pass
+        rows = []
         with _open_text(path) as fh:
             i_total = 0
             for line in fh:

@@ -300,3 +300,20 @@ def impute_mean(x_raw: np.ndarray) -> np.ndarray:
     mean = np.where(miss, 0.0, x_raw).sum(axis=1) / n_obs
     out = np.where(miss, mean[:, None], x_raw)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("dtype_name",))
+def _impute_i8_jit(x_i8, dtype_name: str):
+    x = x_i8.astype(jnp.dtype(dtype_name))
+    miss = x_i8 < 0
+    n_obs = jnp.maximum(jnp.sum(~miss, axis=1), 1)
+    mean = jnp.sum(jnp.where(miss, 0.0, x), axis=1) / n_obs
+    return jnp.where(miss, mean[:, None], x)
+
+
+def impute_mean_i8(x_i8, dtype):
+    """Device-side mean imputation for integral dosages shipped as
+    int8 (missing = -1): the genotype block rides the wire at 1 byte
+    per entry instead of 4-8 (PLINK .bed dosages are always in
+    {0, 1, 2, NA}); same math as `impute_mean`."""
+    return _impute_i8_jit(x_i8, jnp.dtype(dtype).name)

@@ -22,6 +22,7 @@ from gemma_tpu.io.writers import (
     snp_rows_from_table, ensure_outdir,
 )
 from gemma_tpu.models.lmm import fit_null, assoc_block, impute_mean
+from gemma_tpu.models.lmm.engine import impute_mean_i8
 from gemma_tpu.models.lm import lm_block
 from gemma_tpu.ops.center import center_matrix
 from gemma_tpu.ops.eigh import eigh_zeroed, zero_eigenvalues
@@ -32,6 +33,23 @@ from gemma_tpu.utils.validate import validate_kinship
 
 def _resolve_dtype(cfg: GemmaConfig):
     return precision.resolve_dtype(cfg.precision)
+
+
+def _device_imputed(ds: Dataset, sel, size: int, dtype):
+    """Mean-imputed (size, n) device block for the rotation matmul.
+
+    Integral-dosage backends (.bed) ship int8 over the host->device
+    link (4-8x less traffic than float) and impute on device; others
+    take the host impute + float path."""
+    raw = ds.geno.block(sel)[:, ds.indicator_idv]
+    if getattr(ds.geno, "integral_dosages", False):
+        enc = np.where(np.isnan(raw), -1, raw).astype(np.int8)
+        if enc.shape[0] < size:
+            enc = np.vstack([enc, np.zeros(
+                (size - enc.shape[0], enc.shape[1]), np.int8)])
+        return impute_mean_i8(jnp.asarray(enc), dtype)
+    block = _pad_block(impute_mean(raw).astype(np.float64), size, 0.0)
+    return jnp.asarray(block, dtype=dtype)
 
 
 def _pad_block(block: np.ndarray, size: int, fill: float) -> np.ndarray:
@@ -288,9 +306,7 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
                         [flip, np.zeros(bs - k, bool)])),
                     -st.beta, st.beta))
             else:
-                block = _pad_block(raw.astype(np.float64), cfg.block_size,
-                                   0.0)
-                Utx = jnp.asarray(block, dtype=dtype) @ U
+                Utx = _device_imputed(ds, sel, cfg.block_size, dtype) @ U
                 st = assoc_block(eval_, UtW, Uty, Utx, nf.l_mle,
                                  nf.logl_mle, n_cvt=n_cvt, mode=mode,
                                  l_min=cfg.l_min, l_max=cfg.l_max,
