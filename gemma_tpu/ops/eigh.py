@@ -30,20 +30,23 @@ def _use_host_eigh() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def eigh_zeroed(G):
+def eigh_zeroed(G, out_dtype=None):
     """Eigendecompose symmetric G; zero eigenvalues < 1e-10.
 
     Returns (eigenvalues, U, trace_G) where trace_G = mean(zeroed
     eigenvalues), the quantity GEMMA threads through PVE estimates.
-    Eigenvalues ascend, matching LAPACK/GEMMA ordering.
+    Eigenvalues ascend, matching LAPACK/GEMMA ordering.  `out_dtype`
+    overrides the factor dtype (the host path may receive a float64
+    numpy matrix while the device pipeline runs float32).
     """
     if _use_host_eigh():
-        dtype = G.dtype
+        dtype = out_dtype or G.dtype
         w, V = np.linalg.eigh(np.asarray(G, dtype=np.float64))
         eval_ = jnp.asarray(np.where(w < EIGEN_MINVALUE, 0.0, w), dtype)
         U = jnp.asarray(V, dtype)
         return eval_, U, jnp.mean(eval_)
-    eval_, U = jnp.linalg.eigh(G)
+    eval_, U = jnp.linalg.eigh(jnp.asarray(G, dtype=out_dtype)
+                               if out_dtype is not None else G)
     eval_ = jnp.where(eval_ < EIGEN_MINVALUE, 0.0, eval_)
     trace_G = jnp.mean(eval_)
     return eval_, U, trace_G

@@ -136,24 +136,37 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
         raise ValueError("LMM requires -k kinship or -u/-d eigen files")
     K = read_kinship(cfg.file_kin, ds.indicator_idv, ids=ds.ids,
                      k_mode=cfg.k_mode)
+    host_eigh = jax.default_backend() != "cpu"
     with log.timer.phase("eigen"):
-        Kd = jnp.asarray(K, dtype=dtype)
-        Kd = center_matrix(Kd)
+        if host_eigh:
+            # the decomposition runs on host LAPACK (see ops/eigh.py),
+            # so center there too — avoids shuttling the n×n matrix
+            # through the host↔device link three times
+            n = K.shape[0]
+            rs = K.sum(axis=1)
+            Kc = K - rs[:, None] / n - rs[None, :] / n + rs.sum() / (n * n)
+        else:
+            Kc = jnp.asarray(K, dtype=dtype)
+            Kc = center_matrix(Kc)
         if ds.weights is not None:
             # residual weights (-widv): G_ij /= sqrt(w_i w_j), then
             # scale U rows by sqrt(w_i) (gemma.cpp:2599-2644)
-            w = jnp.asarray(ds.weights, dtype=dtype)
-            sw = jnp.where(w > 0, jnp.sqrt(jnp.maximum(w, 0.0)), 0.0)
-            denom = jnp.outer(sw, sw)
-            Kd = jnp.where(denom > 0, Kd / jnp.where(denom > 0, denom, 1.0),
-                           0.0)
+            w = np.asarray(ds.weights, dtype=np.float64)
+            sw = np.where(w > 0, np.sqrt(np.maximum(w, 0.0)), 0.0)
+            denom = np.outer(sw, sw)
+            Kc = np.where(denom > 0,
+                          np.asarray(Kc) / np.where(denom > 0, denom, 1.0),
+                          0.0)
+            if not host_eigh:
+                Kc = jnp.asarray(Kc, dtype=dtype)
         if cfg.check:
-            validate_kinship(np.asarray(jax.device_get(Kd)))
-        eval_, U, trace_G = eigh_zeroed(Kd)
+            validate_kinship(np.asarray(jax.device_get(Kc))
+                             if not host_eigh else np.asarray(Kc))
+        eval_, U, trace_G = eigh_zeroed(Kc, out_dtype=dtype)
         if ds.weights is not None:
-            w = jnp.asarray(ds.weights, dtype=dtype)
-            sw = jnp.where(w > 0, jnp.sqrt(jnp.maximum(w, 0.0)), 0.0)
-            U = U * sw[:, None]
+            wd = jnp.asarray(ds.weights, dtype=dtype)
+            swd = jnp.where(wd > 0, jnp.sqrt(jnp.maximum(wd, 0.0)), 0.0)
+            U = U * swd[:, None]
         eval_.block_until_ready()
     return eval_, U, trace_G
 
