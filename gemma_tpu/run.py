@@ -297,11 +297,11 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         bs = gxe_block if is_gxe else cfg.block_size
         for s in range(0, len(idx), bs):
             sel = idx[s:s + bs]
-            raw = impute_mean(ds.geno.block(sel)[:, ds.indicator_idv])
             k = len(sel)
             if is_gxe:
                 # GXE: flip to minor-allele coding when mean > 1
                 # (lmm.cpp:2362-2370), beta sign restored after
+                raw = impute_mean(ds.geno.block(sel)[:, ds.indicator_idv])
                 x_mean = raw.mean(axis=1)
                 flip = x_mean > 1.0
                 raw = np.where(flip[:, None], 2.0 - raw, raw)
@@ -401,11 +401,11 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     with log.timer.phase("opt"):
         for s in range(0, len(idx), block):
             sel = idx[s:s + block]
-            raw = impute_mean(ds.geno.block(sel)[:, ds.indicator_idv])
             k = len(sel)
             if is_gxe:
                 # minor-allele flip (mvlmm.cpp:4254-4258); beta sign
                 # restored below
+                raw = impute_mean(ds.geno.block(sel)[:, ds.indicator_idv])
                 x_mean = raw.mean(axis=1)
                 flip = x_mean > 1.0
                 raw = np.where(flip[:, None], 2.0 - raw, raw)
@@ -419,8 +419,7 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
                     [flip, np.zeros(block - k, bool)]), -1.0, 1.0)
                 res["beta"] = res["beta"] * sign[:, None]
             else:
-                padded = _pad_block(raw.astype(np.float64), block, 0.0)
-                Utx = jnp.asarray(padded, dtype=dtype) @ U
+                Utx = _device_imputed(ds, sel, block, dtype) @ U
                 res = mvlmm_assoc(eval_, X0, Y, Utx, null, mode, cfg,
                                   dtype)
             for name in outs:
@@ -492,9 +491,8 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     with log.timer.phase("opt"):
         for s in range(0, len(idx), cfg.block_size):
             sel = idx[s:s + cfg.block_size]
-            raw = impute_mean(ds.geno.block(sel)[:, ds.indicator_idv])
-            block = _pad_block(raw.astype(np.float64), cfg.block_size, 0.0)
-            st = lm_block(W, y, jnp.asarray(block, dtype=dtype), mode=mode)
+            xb = _device_imputed(ds, sel, cfg.block_size, dtype)
+            st = lm_block(W, y, xb, mode=mode)
             k = len(sel)
             for name in names:
                 stats[name].append(np.asarray(getattr(st, name))[:k])
