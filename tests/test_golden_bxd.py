@@ -95,3 +95,42 @@ def test_lmm5_residuals_only(tmp_path):
     # u + e reconstructs the null-model residual y - W beta
     assert u.shape == e.shape
     assert np.all(np.isfinite(u)) and np.all(np.isfinite(e))
+
+
+def test_widv_unit_weights_noop(tmp_path):
+    """-widv with all-ones weights reproduces the unweighted analysis
+    exactly (gemma.cpp:2599-2644 reduces to the identity transform)."""
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import run_gk, run_lmm
+    out = str(tmp_path)
+    common = (f"-g {EXAMPLE}/BXD_geno.txt.gz -p {EXAMPLE}/BXD_pheno.txt "
+              f"-outdir {out} -precision float64 -no-check")
+    run_gk(parse_args((common + " -gk -o K").split()))
+
+    res0 = run_lmm(parse_args(
+        (common + f" -k {out}/K.cXX.txt -lmm 1 -o a0").split()))
+
+    n_total = len(open(f"{EXAMPLE}/BXD_pheno.txt").readlines())
+    wfile = tmp_path / "w.txt"
+    wfile.write_text("1.0\n" * n_total)
+    res1 = run_lmm(parse_args(
+        (common + f" -k {out}/K.cXX.txt -lmm 1 -widv {wfile} "
+         f"-o a1").split()))
+
+    np.testing.assert_allclose(res1["stats"]["p_wald"],
+                               res0["stats"]["p_wald"], rtol=1e-8)
+
+    # heterogeneous weights: run completes with valid statistics
+    rng = np.random.default_rng(0)
+    wfile2 = tmp_path / "w2.txt"
+    wfile2.write_text("".join(f"{v:.4f}\n"
+                              for v in rng.uniform(0.5, 2.0, n_total)))
+    res2 = run_lmm(parse_args(
+        (common + f" -k {out}/K.cXX.txt -lmm 1 -widv {wfile2} "
+         f"-o a2").split()))
+    p = res2["stats"]["p_wald"]
+    ok = np.isfinite(p)
+    assert ok.mean() > 0.9
+    assert np.all((p[ok] >= 0) & (p[ok] <= 1))
+    # weights change the fit
+    assert not np.allclose(p, res0["stats"]["p_wald"])
