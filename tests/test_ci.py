@@ -194,3 +194,66 @@ def test_vc_summary_wsnp_weights(tmp_path):
                                              "-wsnp", str(wsnp)]))
     np.testing.assert_allclose(res1.pve, res0.pve, rtol=1e-8)
     np.testing.assert_allclose(res1.se_pve, res0.se_pve, rtol=1e-8)
+
+
+def test_ci_se_matches_empirical_sd(tmp_path):
+    """The -ci standard error estimates the sampling sd of the MQS pve
+    estimator: across replicate phenotype draws (fixed genotypes) the
+    empirical sd of pve-hat must match the analytic se to ~35%."""
+    from gemma_tpu.models.mqs import calcq, calc_s, calc_vc_ss
+    from gemma_tpu.models.ci import (read_ref, read_signed_beta,
+                                     read_beta_rs_set, obtain_weight,
+                                     update_snp_z, standardized_genotypes,
+                                     xwz_passes, calc_ci_ss)
+    from gemma_tpu.run import run_gs, run_ci
+
+    rng = np.random.default_rng(21)
+    n, p, h2 = 300, 250, 0.3
+    maf = rng.uniform(0.15, 0.5, p)
+    X = rng.binomial(2, maf[:, None], size=(p, n)).astype(float)
+    Xc = X - X.mean(axis=1, keepdims=True)
+    Xs = Xc / Xc.std(axis=1, keepdims=True)
+    beta = rng.normal(0, 1, p)
+    g = Xs.T @ beta / np.sqrt(p)
+    g = g / g.std() * np.sqrt(h2)
+
+    geno = tmp_path / "geno.txt"
+    with open(geno, "w") as fh:
+        for j in range(p):
+            fh.write(f"rs{j}, A, T, " + ", ".join(map(str, X[j])) + "\n")
+    W = np.ones((n, 1))
+
+    # reference panel S from the fixed genotypes (shared by replicates)
+    cats = np.zeros(p, dtype=np.int64)
+    S, Svar, ns = calc_s(X, W, cats, 1)
+
+    # empirical distribution of pve-hat over phenotype replicates
+    pves = []
+    for rep in range(60):
+        y = g + rng.normal(0, np.sqrt(1 - h2), n)
+        z = Xs @ (y - y.mean()) / (y.std() * np.sqrt(n))
+        Vq, q, s_vec = calcq(200, cats, np.full(p, n), np.ones(p),
+                             z * z, 1)
+        res = calc_vc_ss(Vq, S, Svar, q, s_vec, float(n))
+        pves.append(float(res.pve[0]))
+    emp_sd = float(np.std(pves))
+
+    # analytic se from the -ci pipeline on one replicate
+    y = g + rng.normal(0, np.sqrt(1 - h2), n)
+    z = Xs @ (y - y.mean()) / (y.std() * np.sqrt(n))
+    np.savetxt(tmp_path / "pheno.txt", y)
+    with open(tmp_path / "beta.txt", "w") as fh:
+        fh.write("rs\ta1\ta0\tz\tn\n")
+        for j in range(p):
+            fh.write(f"rs{j}\tA\tT\t{z[j]:.6f}\t{n}\n")
+    from gemma_tpu.cli import parse_args
+    run_gs(parse_args(["-g", str(geno), "-p", str(tmp_path / "pheno.txt"),
+                       "-gs", "-outdir", str(tmp_path), "-o", "ref"]))
+    res = run_ci(parse_args(
+        ["-g", str(geno), "-p", str(tmp_path / "pheno.txt"),
+         "-beta", str(tmp_path / "beta.txt"),
+         "-ref", str(tmp_path / "ref"), "-pve", f"{np.mean(pves):.4f}",
+         "-ci", "1", "-outdir", str(tmp_path), "-o", "ci"]))
+    se = float(res.se_pve[0])
+    assert emp_sd > 0
+    assert abs(se - emp_sd) / emp_sd < 0.35, (se, emp_sd)
