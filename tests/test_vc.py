@@ -150,3 +150,44 @@ def test_reml_noconstrain_matches_constrained():
     # interior optimum: both parameterizations find the same root
     np.testing.assert_allclose(res_u.pve[0], res_c.pve[0], atol=5e-3)
     np.testing.assert_allclose(res_u.sigma2, res_c.sigma2, rtol=2e-2)
+
+
+def test_vc_se_matches_empirical_sd():
+    """se(pve) from HE regression and REML-AI estimate the replicate
+    sampling sd (fixed kinship, phenotype redrawn)."""
+    from gemma_tpu.models.vc import vc_acl
+    rng = np.random.default_rng(31)
+    n, p, h2 = 250, 600, 0.4
+    X = rng.binomial(2, 0.3, size=(p, n)).astype(np.float64)
+    Xc = X - X.mean(axis=1, keepdims=True)
+    K = Xc.T @ Xc / p
+    Kc = np.asarray(center_matrix(jnp.asarray(K)))
+    v_traceG = np.array([np.mean(np.diag(Kc))])
+    W = np.ones((n, 1))
+    L = np.linalg.cholesky(Kc + 1e-8 * np.eye(n))
+
+    def draw():
+        u = L @ rng.normal(size=n)
+        u = u / u.std() * np.sqrt(h2)
+        return u + rng.normal(0, np.sqrt(1 - h2), n)
+
+    ests = {"he": [], "reml": [], "acl": []}
+    for rep in range(40):
+        y = draw()
+        ests["he"].append(float(vc_he(Kc[None], W, y, v_traceG).pve[0]))
+        if rep < 15:   # REML is costlier; fewer replicates
+            ests["reml"].append(
+                float(vc_reml_ai(Kc[None], W, y, v_traceG).pve[0]))
+        ests["acl"].append(float(vc_acl(Kc[None], W, y, v_traceG).pve[0]))
+
+    y = draw()
+    he = vc_he(Kc[None], W, y, v_traceG)
+    reml = vc_reml_ai(Kc[None], W, y, v_traceG)
+    acl = vc_acl(Kc[None], W, y, v_traceG)
+
+    for res, key, tol in ((he, "he", 0.5), (reml, "reml", 0.6),
+                          (acl, "acl", 0.5)):
+        emp = float(np.std(ests[key]))
+        se = float(res.se_pve[0])
+        assert emp > 0
+        assert abs(se - emp) / emp < tol, (key, se, emp)
