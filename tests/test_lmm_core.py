@@ -303,3 +303,40 @@ def test_assoc_block_modes_run():
             # null x: all three p-values present and broadly consistent
             assert np.all(np.asarray(st.p_lrt) >= 0)
             assert np.all(np.asarray(st.p_score) >= 0)
+
+
+def test_null_pvalue_calibration():
+    """Under a pure-null phenotype the Wald/LRT/score p-values are
+    Uniform(0,1): a miscalibrated test statistic (wrong df, wrong
+    variance scale) shifts the KS statistic far beyond this bound."""
+    import scipy.stats
+    from gemma_tpu.models.lmm import fit_null, build_batch_data
+    from gemma_tpu.models.lmm.engine import assoc_block_impl
+    from gemma_tpu.ops.eigh import eigh_zeroed
+
+    rng = np.random.default_rng(41)
+    n, p = 400, 600
+    Xk = rng.binomial(2, 0.3, size=(800, n)).astype(np.float64)
+    Xkc = Xk - Xk.mean(axis=1, keepdims=True)
+    K = Xkc.T @ Xkc / 800
+    eval_, U, trace_G = eigh_zeroed(jnp.asarray(K))
+
+    # y has a genetic component, so the mixed model must de-correlate it
+    L = np.linalg.cholesky(np.asarray(K) + 1e-8 * np.eye(n))
+    y = L @ rng.normal(size=n) * 0.7 + rng.normal(size=n)
+    W = np.ones((n, 1))
+    UtW = U.T @ jnp.asarray(W)
+    Uty = U.T @ jnp.asarray(y)
+    nf = fit_null(eval_, UtW, Uty, trace_G, 1)
+
+    # NULL test SNPs independent of y
+    Xt = rng.binomial(2, 0.3, size=(p, n)).astype(np.float64)
+    Utx = jnp.asarray(Xt) @ U
+    st = assoc_block_impl(eval_, UtW, Uty, Utx, nf.l_mle, nf.logl_mle,
+                          n_cvt=1, mode=4)
+    for name in ("p_wald", "p_lrt", "p_score"):
+        pv = np.asarray(getattr(st, name))
+        pv = pv[np.isfinite(pv)]
+        assert len(pv) > 0.9 * p
+        ks = scipy.stats.kstest(pv, "uniform").statistic
+        assert ks < 0.08, (name, ks)
