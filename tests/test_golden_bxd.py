@@ -134,3 +134,29 @@ def test_widv_unit_weights_noop(tmp_path):
     assert np.all((p[ok] >= 0) & (p[ok] <= 1))
     # weights change the fit
     assert not np.allclose(p, res0["stats"]["p_wald"])
+
+
+def test_eigen_staging_roundtrip(tmp_path):
+    """The file-staged pipeline (SURVEY §5.4): -gk → -eigen → -lmm with
+    -u/-d reproduces the direct -lmm -k run (gemma.cpp:2648-2668)."""
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import run_gk, run_eigen, run_lmm
+    out = str(tmp_path)
+    common = (f"-g {EXAMPLE}/BXD_geno.txt.gz -p {EXAMPLE}/BXD_pheno.txt "
+              f"-outdir {out} -precision float64 -no-check")
+    run_gk(parse_args((common + " -gk -o K").split()))
+    run_eigen(parse_args((common + f" -k {out}/K.cXX.txt -eigen "
+                          "-o E").split()))
+    assert (tmp_path / "E.eigenU.txt").exists()
+    assert (tmp_path / "E.eigenD.txt").exists()
+
+    direct = run_lmm(parse_args(
+        (common + f" -k {out}/K.cXX.txt -lmm 1 -o d1").split()))
+    staged = run_lmm(parse_args(
+        (common + f" -u {out}/E.eigenU.txt -d {out}/E.eigenD.txt "
+         f"-lmm 1 -o s1").split()))
+    np.testing.assert_allclose(staged["stats"]["p_wald"],
+                               direct["stats"]["p_wald"],
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(staged["stats"]["beta"],
+                               direct["stats"]["beta"], rtol=1e-6)
