@@ -74,3 +74,31 @@ def test_lazy_bed_block_equals_dense(tmp_path):
     np.testing.assert_array_equal(geno.block(sel), dense[sel])
     assert geno._X is None
     np.testing.assert_array_equal(geno.X, dense)
+
+
+def test_km2_sparse_kinship_roundtrip(tmp_path):
+    """-km 2 (id id value triples) reproduces the dense -km 1 run
+    (ReadFile_kin k_mode 2, gemma_io.cpp:1246-1292)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.synth_biobank import write_plink
+    from gemma_tpu.run import run_gk, run_lmm
+
+    write_plink(str(tmp_path / "t"), n=120, p=300, h2=0.5, seed=9)
+    out = str(tmp_path)
+    common = f"-bfile {tmp_path}/t -outdir {out} -precision float64 -no-check"
+    run_gk(parse_args((common + " -gk -o K").split()))
+
+    K = np.loadtxt(tmp_path / "K.cXX.txt")
+    ids = [line.split()[1] for line in open(tmp_path / "t.fam")]
+    with open(tmp_path / "K.sparse.txt", "w") as fh:
+        for i in range(len(ids)):
+            for j in range(i + 1):
+                fh.write(f"{ids[i]}\t{ids[j]}\t{K[i, j]:.10g}\n")
+
+    d1 = run_lmm(parse_args(
+        (common + f" -k {out}/K.cXX.txt -lmm 1 -o d").split()))
+    s1 = run_lmm(parse_args(
+        (common + f" -k {out}/K.sparse.txt -km 2 -lmm 1 -o s").split()))
+    np.testing.assert_allclose(s1["stats"]["p_wald"], d1["stats"]["p_wald"],
+                               rtol=1e-6, atol=1e-12)
