@@ -102,3 +102,23 @@ def test_km2_sparse_kinship_roundtrip(tmp_path):
         (common + f" -k {out}/K.sparse.txt -km 2 -lmm 1 -o s").split()))
     np.testing.assert_allclose(s1["stats"]["p_wald"], d1["stats"]["p_wald"],
                                rtol=1e-6, atol=1e-12)
+
+
+def test_nind_truncates_first_n(tmp_path):
+    """-nind keeps the FIRST N analyzed individuals in file order, not
+    a random subset (trim_individuals, param.cpp:74-91)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.synth_biobank import write_plink
+    write_plink(str(tmp_path / "t"), n=60, p=40, h2=0.5, seed=4)
+    cfg = parse_args(f"-bfile {tmp_path}/t -nind 25 -notsnp".split())
+    ds = load_dataset(cfg)
+    assert ds.ni_test == 25
+    assert np.flatnonzero(ds.indicator_idv).max() <= 24 or \
+        np.array_equal(np.flatnonzero(ds.indicator_idv),
+                       np.flatnonzero(ds.indicator_idv))
+    # first 25 analyzed rows in file order
+    full = parse_args(f"-bfile {tmp_path}/t -notsnp".split())
+    ds_full = load_dataset(full)
+    first25 = np.flatnonzero(ds_full.indicator_idv)[:25]
+    np.testing.assert_array_equal(np.flatnonzero(ds.indicator_idv), first25)
