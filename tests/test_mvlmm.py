@@ -179,3 +179,41 @@ def test_mph_calc_p_matches_dense_gls():
     # Vbeta equals the corresponding block of Q^{-1}
     Vb_dense = np.linalg.inv(Q)[c * d:, c * d:]
     np.testing.assert_allclose(np.asarray(Vbeta)[0], Vb_dense, rtol=1e-7)
+
+
+def test_mvlmm_score_null_calibration():
+    """mvLMM score-test p-values are Uniform(0,1) under the null —
+    pins the chi-square(d) reference distribution and the Qi/beta
+    algebra of mph_calc_p."""
+    import scipy.stats
+    from gemma_tpu.models.mvlmm import MvlmmNull, mvlmm_assoc
+    from gemma_tpu.ops.eigh import eigh_zeroed
+
+    rng = np.random.default_rng(51)
+    n, p, d = 250, 400, 2
+    Xk = rng.binomial(2, 0.3, size=(500, n)).astype(np.float64)
+    Xkc = Xk - Xk.mean(axis=1, keepdims=True)
+    K = Xkc.T @ Xkc / 500
+    K /= np.diag(K).mean()
+    eval_, U, tg = eigh_zeroed(jnp.asarray(K))
+    L = np.linalg.cholesky(K + 1e-8 * np.eye(n))
+    Y = np.column_stack([
+        L @ rng.normal(size=n) * 0.6 + rng.normal(size=n) * 0.8
+        for _ in range(d)])
+    X0 = (U.T @ jnp.ones((n, 1))).T
+    Yr = (U.T @ jnp.asarray(Y)).T
+
+    class Cfg:
+        l_min, l_max, n_region = 1e-5, 1e5, 10
+        em_iter, em_prec, nr_iter, nr_prec = 10000, 1e-4, 100, 1e-4
+        p_nr, crt = 0.001, 0
+
+    null = MvlmmNull(eval_, X0, Yr, Cfg())
+    Xt = rng.binomial(2, 0.3, size=(p, n)).astype(np.float64)
+    Utx = jnp.asarray(Xt) @ U
+    res = mvlmm_assoc(eval_, X0, Yr, Utx, null, 3, Cfg(), jnp.float64)
+    pv = res["p_score"]
+    pv = pv[np.isfinite(pv)]
+    assert len(pv) > 0.95 * p
+    ks = scipy.stats.kstest(pv, "uniform").statistic
+    assert ks < 0.08, ks
