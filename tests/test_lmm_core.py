@@ -340,3 +340,39 @@ def test_null_pvalue_calibration():
         assert len(pv) > 0.9 * p
         ks = scipy.stats.kstest(pv, "uniform").statistic
         assert ks < 0.08, (name, ks)
+
+
+def test_float32_speed_mode_matches_float64():
+    """The float32 TPU speed mode (relaxed Newton tolerance + Brent
+    fallback, calc_lambda docstring) reproduces float64 p-values well
+    inside the 1e-3 golden tolerance."""
+    from gemma_tpu.models.lmm import fit_null
+    from gemma_tpu.models.lmm.engine import assoc_block_impl
+    from gemma_tpu.ops.eigh import eigh_zeroed
+
+    rng = np.random.default_rng(61)
+    n, p = 300, 256
+    Xk = rng.binomial(2, 0.3, size=(600, n)).astype(np.float64)
+    Xkc = Xk - Xk.mean(axis=1, keepdims=True)
+    K = Xkc.T @ Xkc / 600
+    L = np.linalg.cholesky(K + 1e-8 * np.eye(n))
+    y = L @ rng.normal(size=n) * 0.6 + rng.normal(size=n)
+    Xt = rng.binomial(2, 0.3, size=(p, n)).astype(np.float64)
+    Xt[:8] += (y > np.median(y)) * 0.5          # some real signals
+    W = np.ones((n, 1))
+
+    outs = {}
+    for dtype in (jnp.float64, jnp.float32):
+        eval_, U, tg = eigh_zeroed(jnp.asarray(K, dtype))
+        UtW = U.T @ jnp.asarray(W, dtype)
+        Uty = U.T @ jnp.asarray(y, dtype)
+        nf = fit_null(eval_, UtW, Uty, tg, 1)
+        Utx = jnp.asarray(Xt, dtype) @ U
+        st = assoc_block_impl(eval_, UtW, Uty, Utx, nf.l_mle,
+                              nf.logl_mle, n_cvt=1, mode=1)
+        outs[str(dtype.__name__)] = np.asarray(st.p_wald, np.float64)
+
+    a, b = outs["float64"], outs["float32"]
+    ok = np.isfinite(a) & np.isfinite(b)
+    assert ok.mean() > 0.97
+    assert np.nanmax(np.abs(a[ok] - b[ok])) < 1e-3
