@@ -122,3 +122,33 @@ def test_nind_truncates_first_n(tmp_path):
     ds_full = load_dataset(full)
     first25 = np.flatnonzero(ds_full.indicator_idv)[:25]
     np.testing.assert_array_equal(np.flatnonzero(ds.indicator_idv), first25)
+
+
+def test_gk2_standardized_kinship(tmp_path):
+    """-gk 2 builds the standardized relatedness matrix: each SNP is
+    centered AND scaled by 1/sd before the X'X/p accumulation
+    (BimbamKin -gk 2 branch, gemma_io.cpp:1535-1538); mean diagonal
+    is ~1 and the matrix matches the dense numpy computation."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.synth_biobank import write_plink
+    from gemma_tpu.run import run_gk
+
+    write_plink(str(tmp_path / "t"), n=80, p=200, h2=0.5, seed=13)
+    out = str(tmp_path)
+    cfg = parse_args(f"-bfile {tmp_path}/t -gk 2 -notsnp -no-check "
+                     f"-outdir {out} -precision float64 -o S".split())
+    K = run_gk(cfg)
+    assert (tmp_path / "S.sXX.txt").exists()
+
+    ds = load_dataset(parse_args(
+        f"-bfile {tmp_path}/t -notsnp -precision float64".split()))
+    X = ds.geno.X[ds.qc.indicator_snp]          # over ALL individuals
+    mean = np.nanmean(X, axis=1)
+    filled = np.where(np.isnan(X), mean[:, None], X)
+    Xc = filled - mean[:, None]
+    sd = Xc.std(axis=1)
+    Xs = Xc / np.where(sd > 0, sd, 1.0)[:, None]
+    K_ref = Xs.T @ Xs / Xs.shape[0]
+    np.testing.assert_allclose(K, K_ref, atol=1e-8)
+    assert abs(np.mean(np.diag(K)) - 1.0) < 1e-6
