@@ -135,3 +135,51 @@ def test_windowed_correlations_match_numpy():
             k = i + 1 + j
             want = (Xc[i] @ Xc[k]) / np.sqrt((Xc[i] @ Xc[i]) * (Xc[k] @ Xc[k]))
             np.testing.assert_allclose(cors[i][j], want, rtol=1e-8)
+
+
+def test_bslmm_predict_staged_workflow(tmp_path):
+    """The reference's staged composition (SURVEY §5.4): -bslmm writes
+    .param.txt, -predict consumes it via -epm and imputes the NA
+    phenotypes; with strong causal SNPs the predictions correlate with
+    the held-out truth (demo.txt workflow)."""
+    import numpy as np
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import run_bslmm, run_predict
+
+    rng = np.random.default_rng(71)
+    n, p = 150, 60
+    X = rng.binomial(2, 0.35, size=(p, n)).astype(float)
+    causal = [5, 20, 41]
+    g = sum(X[c] for c in causal) * 0.9
+    y_true = g + rng.normal(0, 0.5, n)
+
+    test = np.zeros(n, dtype=bool)
+    test[rng.choice(n, 50, replace=False)] = True
+
+    geno = tmp_path / "geno.txt"
+    with open(geno, "w") as fh:
+        for j in range(p):
+            fh.write(f"rs{j}, A, T, " + ", ".join(map(str, X[j])) + "\n")
+    with open(tmp_path / "pheno.txt", "w") as fh:
+        for i in range(n):
+            fh.write("NA\n" if test[i] else f"{y_true[i]:.6f}\n")
+
+    out = str(tmp_path)
+    common = (f"-g {geno} -p {tmp_path}/pheno.txt -outdir {out} "
+              f"-notsnp -no-check -precision float64")
+    run_bslmm(parse_args(
+        (common + " -bslmm 1 -w 500 -s 1500 -seed 3 -o fit").split()))
+    assert (tmp_path / "fit.param.txt").exists()
+
+    mean_train = float(y_true[~test].mean())
+    run_predict(parse_args(
+        (common + f" -epm {out}/fit.param.txt -emu {mean_train} "
+         f"-predict 1 -o pr").split()))
+    lines = (tmp_path / "pr.prdt.txt").read_text().splitlines()
+    assert len(lines) == n
+    yhat = np.array([float(v) if v != "NA" else np.nan for v in lines])
+    # training rows are NA; test rows get predictions
+    assert np.all(np.isnan(yhat[~test]))
+    assert np.all(np.isfinite(yhat[test]))
+    r = np.corrcoef(yhat[test], y_true[test])[0, 1]
+    assert r > 0.5, r
