@@ -902,6 +902,7 @@ def run_bslmm(cfg: GemmaConfig, log: RunLog | None = None):
     y = ds.Y[:, 0].copy()
     pheno_mean = float(y.mean())
     y = y - pheno_mean
+    log.extra.append(f"estimated mean = {pheno_mean:.6g}")
 
     # kinship: from file (-k) or centered X'X/ns (gemma.cpp:2906-2922)
     if cfg.file_kin:
@@ -1135,6 +1136,18 @@ def run_predict(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg, need_qc=False)
 
+    pheno_mean = cfg.pheno_mean
+    if cfg.file_emu:
+        # -emu: recover the estimated mean from a previous run's
+        # .log.txt (ReadFile_log, gemma_io.cpp:239-276)
+        with open(cfg.file_emu) as fh:
+            for line in fh:
+                toks = line.replace(",", " ").split()
+                if (len(toks) >= 5 and toks[1] == "estimated"
+                        and toks[2] == "mean" and toks[3] == "="):
+                    pheno_mean = float(toks[4])
+                    break
+
     test = ~ds.indicator_idv
     y_prdt = np.zeros(int(test.sum()))
 
@@ -1159,7 +1172,7 @@ def run_predict(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
         y_prdt += y_add
         log.summary["number of analyzed SNPs/var"] = ns_used
 
-    y_prdt += cfg.pheno_mean
+    y_prdt += pheno_mean
     if cfg.a_mode == 42:
         y_prdt = probit_transform(y_prdt)
 

@@ -171,9 +171,10 @@ def test_bslmm_predict_staged_workflow(tmp_path):
         (common + " -bslmm 1 -w 500 -s 1500 -seed 3 -o fit").split()))
     assert (tmp_path / "fit.param.txt").exists()
 
-    mean_train = float(y_true[~test].mean())
+    # -emu consumes the previous run's log file (ReadFile_log)
+    assert "estimated mean" in (tmp_path / "fit.log.txt").read_text()
     run_predict(parse_args(
-        (common + f" -epm {out}/fit.param.txt -emu {mean_train} "
+        (common + f" -epm {out}/fit.param.txt -emu {out}/fit.log.txt "
          f"-predict 1 -o pr").split()))
     lines = (tmp_path / "pr.prdt.txt").read_text().splitlines()
     assert len(lines) == n
