@@ -258,9 +258,11 @@ def parse_args(argv: list) -> GemmaConfig:
         elif a == "-gq":
             set_mode(26 + int(take(default="1")))
         elif a == "-gw":
-            set_mode(72)
+            # -gw [N] → 71+N (gemma.cpp:1181-1188), default 72
+            set_mode(71 + int(take(default="1")))
         elif a == "-calccor":
-            set_mode(71)
+            # -calccor [N] → 70+N (gemma.cpp:1221-1227), default 71
+            set_mode(70 + int(take(default="1")))
         elif a == "-bslmm":
             set_mode(10 + int(take(default="1")))
         elif a == "-predict":
