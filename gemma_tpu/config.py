@@ -204,6 +204,18 @@ def check_param(cfg: GemmaConfig) -> None:
         if cfg.file_gwasnps:
             err("LOCO does not allow -gwasnps switch")
 
+    # only LMM modes (and MVN prediction) handle multiple phenotypes
+    # (param.cpp:653-663)
+    if cfg.n_ph > 1 and cfg.a_mode not in (1, 2, 3, 4, 9, 43):
+        err(f"the current analysis mode {cfg.a_mode} can not deal "
+            "with multiple phenotypes.")
+    if cfg.n_ph > 1 and cfg.file_gene:
+        err("multiple phenotype analysis option not allowed with "
+            "gene expression files.")
+    if cfg.p_nr > 1:
+        err("pnr value must be between 0 and 1. "
+            f"current value = {cfg.p_nr}")
+
     if cfg.a_mode in (66, 67):
         if not cfg.file_beta:
             err("-ci requires -beta summary statistics")
