@@ -351,8 +351,9 @@ def parse_args(argv: list) -> GemmaConfig:
             raise NotImplementedError(
                 "-ldr is vestigial in GEMMA (LDR::VB never defined, "
                 "ldr.h:65) and deliberately not built")
-        elif a in ("-silence", "--quiet", "-strict", "-no-fpe-check",
-                   "-legacy", "-issue"):
+        elif a in ("-silence", "--quiet"):
+            cfg.quiet = True
+        elif a in ("-strict", "-no-fpe-check", "-legacy", "-issue"):
             if a == "-issue":
                 take()
         elif a == "-precision":

@@ -143,6 +143,7 @@ class GemmaConfig:
     check: bool = True
     debug: bool = False
     d_pace: int = 100000        # -pace progress stride
+    quiet: bool = False         # -silence/--quiet
     checkpoint_every: int = 0   # -ckpt N: BSLMM MCMC checkpoint stride
     trace_dir: str = ""         # -trace: JAX profiler trace output dir
     est_column: Sequence[int] = ()  # -en columns in -epm file

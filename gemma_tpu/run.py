@@ -392,6 +392,10 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     log.extra.append("REMLE estimate for Ve in the null model: " +
                      " ".join(f"{ve[i, j]:.6g}" for i in range(d)
                               for j in range(i + 1)))
+    se_vg = np.sqrt(np.maximum(np.asarray(null.VVg_remle), 0.0))
+    se_ve = np.sqrt(np.maximum(np.asarray(null.VVe_remle), 0.0))
+    log.extra.append("se(Vg): " + " ".join(f"{v:.6g}" for v in se_vg))
+    log.extra.append("se(Ve): " + " ".join(f"{v:.6g}" for v in se_ve))
 
     idx = _assoc_snp_indices(ds)
     block = min(cfg.block_size, 256 if is_gxe else 2048)
@@ -1302,7 +1306,7 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     """Mode dispatch (GEMMA::BatchRun, gemma.cpp:1641)."""
     from gemma_tpu.config import check_param
     check_param(cfg)
-    log = RunLog(argv=argv or ["gemma-tpu"])
+    log = RunLog(argv=argv or ["gemma-tpu"], quiet=cfg.quiet)
     if cfg.trace_dir:
         # device-level profiling (the `make profile` analogue,
         # SURVEY §5.1); phase wall-clock always lands in .log.txt

@@ -39,14 +39,25 @@ class PhaseTimer:
 
 
 class RunLog:
-    def __init__(self, argv: list, timer: PhaseTimer | None = None):
+    def __init__(self, argv: list, timer: PhaseTimer | None = None,
+                 quiet: bool = False):
         self.argv = argv
         self.timer = timer or PhaseTimer()
+        self.quiet = quiet
         self.summary = {}      # dataset summary lines (ordered dict semantics)
         self.null_model = {}   # null model estimates
         self.extra = []        # extra "## ..." lines
 
+    def console_summary(self) -> None:
+        """Mirror PrintSummary's console output (param.cpp:1252-1310)
+        unless -silence was given (main.cpp:75-78)."""
+        if self.quiet:
+            return
+        for k, v in self.summary.items():
+            print(f"## {k} = {v}")
+
     def write(self, path: str, a_mode: int, n_ph: int = 1) -> None:
+        self.console_summary()
         t = self.timer
         with open(path, "w") as fh:
             w = fh.write
