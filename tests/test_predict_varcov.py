@@ -184,3 +184,49 @@ def test_bslmm_predict_staged_workflow(tmp_path):
     assert np.all(np.isfinite(yhat[test]))
     r = np.corrcoef(yhat[test], y_true[test])[0, 1]
     assert r > 0.5, r
+
+
+def test_gblup_predict_with_breeding_values(tmp_path):
+    """-bslmm 2 (ridge/GBLUP) → -predict with -epm + -ebv + -k: the
+    kinship-propagated breeding values (AddBV, prdt.cpp:133-205) carry
+    the polygenic signal to the held-out individuals."""
+    import numpy as np
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import run_gk, run_bslmm, run_predict
+
+    rng = np.random.default_rng(81)
+    n, p = 160, 400
+    X = rng.binomial(2, 0.35, size=(p, n)).astype(float)
+    Xc = X - X.mean(axis=1, keepdims=True)
+    beta = rng.normal(0, 1, p)
+    g = Xc.T @ beta / np.sqrt(p)
+    g = g / g.std()
+    y_true = g + rng.normal(0, 0.35, n)     # strongly polygenic
+
+    test = np.zeros(n, dtype=bool)
+    test[rng.choice(n, 50, replace=False)] = True
+
+    geno = tmp_path / "geno.txt"
+    with open(geno, "w") as fh:
+        for j in range(p):
+            fh.write(f"rs{j}, A, T, " + ", ".join(map(str, X[j])) + "\n")
+    with open(tmp_path / "pheno.txt", "w") as fh:
+        for i in range(n):
+            fh.write("NA\n" if test[i] else f"{y_true[i]:.6f}\n")
+
+    out = str(tmp_path)
+    common = (f"-g {geno} -p {tmp_path}/pheno.txt -outdir {out} "
+              f"-notsnp -no-check -precision float64")
+    run_gk(parse_args((common + " -gk -o K").split()))
+    run_bslmm(parse_args(
+        (common + f" -bslmm 2 -k {out}/K.cXX.txt -o gb").split()))
+    assert (tmp_path / "gb.bv.txt").exists()
+
+    run_predict(parse_args(
+        (common + f" -epm {out}/gb.param.txt -ebv {out}/gb.bv.txt "
+         f"-k {out}/K.cXX.txt -predict 1 -o pr").split()))
+    lines = (tmp_path / "pr.prdt.txt").read_text().splitlines()
+    yhat = np.array([float(v) if v != "NA" else np.nan for v in lines])
+    assert np.all(np.isfinite(yhat[test]))
+    r = np.corrcoef(yhat[test], y_true[test])[0, 1]
+    assert r > 0.3, r
