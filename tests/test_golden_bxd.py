@@ -160,3 +160,31 @@ def test_eigen_staging_roundtrip(tmp_path):
                                rtol=1e-6, atol=1e-12)
     np.testing.assert_allclose(staged["stats"]["beta"],
                                direct["stats"]["beta"], rtol=1e-6)
+
+
+def test_loco_excludes_chromosome(tmp_path):
+    """LOCO: -gk -loco 1 builds the kinship from all chromosomes but 1
+    (ksnps), and -lmm -loco 1 tests only chromosome-1 SNPs (gwasnps)
+    (LOCO_set_Snps, param.cpp:48-66; dev_tests.rb:57-77)."""
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import run_gk, run_lmm
+    out = str(tmp_path)
+    common = (f"-g {EXAMPLE}/BXD_geno.txt.gz -p {EXAMPLE}/BXD_pheno.txt "
+              f"-a {EXAMPLE}/BXD_snps.txt -outdir {out} "
+              f"-precision float64 -no-check")
+    run_gk(parse_args((common + " -gk -o Kfull").split()))
+    run_gk(parse_args((common + " -gk -loco 1 -o K1").split()))
+    Kf = np.loadtxt(tmp_path / "Kfull.cXX.txt")
+    K1 = np.loadtxt(tmp_path / "K1.cXX.txt")
+    assert Kf.shape == K1.shape
+    assert not np.allclose(Kf, K1)          # chr 1 SNPs excluded
+
+    res = run_lmm(parse_args(
+        (common + f" -k {out}/K1.cXX.txt -lmm 2 -loco 1 -o a1").split()))
+    lines = (tmp_path / "a1.assoc.txt").read_text().splitlines()[1:]
+    chrs = {ln.split("\t")[0] for ln in lines}
+    assert chrs == {"1"}                     # only chromosome 1 tested
+    p = res["stats"]["p_lrt"]
+    ok = np.isfinite(p)
+    assert ok.mean() > 0.9
+    assert np.all((p[ok] >= 0) & (p[ok] <= 1))
