@@ -166,7 +166,7 @@ def read_study(prefix: str):
 
 def read_mstudy(path: str):
     """-mstudy: list of -study prefixes pooled with s-weighting
-    (ReadFile_mstudy, gemma_io.cpp:4112-4101)."""
+    (ReadFile_mstudy, gemma_io.cpp:4012-4101)."""
     Vq_sum = q_sum = s_vec = None
     ni = 0
     with open(path) as fh:
