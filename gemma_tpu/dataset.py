@@ -13,8 +13,11 @@ import dataclasses
 
 import numpy as np
 
+import os
+
 from gemma_tpu.config import GemmaConfig
-from gemma_tpu.io.bimbam import read_bimbam_genotypes, annotate_snps
+from gemma_tpu.io.bimbam import (read_bimbam_genotypes, annotate_snps,
+                                 StreamingBimbamGenotypes)
 from gemma_tpu.io.plink import read_plink
 from gemma_tpu.io.readers import (
     read_pheno, read_covariates, read_anno, read_snp_set, read_gxe,
@@ -107,6 +110,24 @@ def _read_list_file(path: str) -> list:
         return [ln.strip() for ln in fh if ln.strip()]
 
 
+def _bimbam_backend(path: str):
+    """In-memory vs streaming BIMBAM backend selection.
+
+    Big inputs stream through the native reader with bounded RSS (the
+    reference's two-pass posture, gemma_io.cpp:639/1418); small inputs
+    materialise (faster for repeated passes).  GEMMA_TPU_STREAM=1/0
+    forces; default switches on file size (1 GiB text / 256 MiB gz)."""
+    from gemma_tpu.io import native
+    env = os.environ.get("GEMMA_TPU_STREAM", "auto")
+    if env == "1":
+        return StreamingBimbamGenotypes(path)
+    if env == "auto" and native.available():
+        thresh = (256 << 20) if str(path).endswith(".gz") else (1 << 30)
+        if os.path.getsize(path) > thresh:
+            return StreamingBimbamGenotypes(path)
+    return read_bimbam_genotypes(path)
+
+
 def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
                  need_geno: bool = True) -> Dataset:
     ids = None
@@ -128,7 +149,7 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
                 pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
         else:
             for path in _read_list_file(cfg.file_mgeno):
-                parts.append(read_bimbam_genotypes(path))
+                parts.append(_bimbam_backend(path))
             pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
         n_ind = {p.n_individuals for p in parts}
         if len(n_ind) != 1:
@@ -145,7 +166,7 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
         if cfg.file_pheno:   # -p overrides .fam phenotypes
             pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
     elif cfg.file_geno:
-        geno = read_bimbam_genotypes(cfg.file_geno)
+        geno = _bimbam_backend(cfg.file_geno)
         pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
         if cfg.file_anno:
             annotate_snps(geno.snps, read_anno(cfg.file_anno))

@@ -36,6 +36,12 @@ def read_bimbam_genotypes(path: str, n_individuals: int | None = None
     """
     from gemma_tpu.io import native
     parsed = native.parse_bimbam(path)
+    if parsed is None:
+        import warnings
+        warnings.warn(
+            "native BIMBAM parser unavailable (libgemma_native build "
+            "failed?) — falling back to the ~30x slower Python "
+            "tokenizer; large inputs will be ingestion-bound")
     if parsed is not None:
         rs, a1, a0, X = parsed
         if n_individuals is not None and X.shape[1] != n_individuals:
@@ -82,6 +88,102 @@ def read_bimbam_genotypes(path: str, n_individuals: int | None = None
         a_major=a0_list,
     )
     return GenotypeData(snps=snps, X=X)
+
+
+class StreamingBimbamGenotypes:
+    """GenotypeData-compatible bounded-memory BIMBAM backend.
+
+    Construction does one metadata-only native pass (rs/alleles; the
+    dosage fields are never tokenised).  `block(sel)` streams forward
+    through an open native reader — monotone access patterns (QC,
+    kinship accumulation, association batching all walk the file in
+    order) each cost exactly one file scan, the reference's own
+    two-pass posture (ReadFile_geno gemma_io.cpp:639-873 then
+    BimbamKin:1418-1597) with the (p, n) matrix never materialised.
+    Non-monotone access reopens the stream (a new pass)."""
+
+    def __init__(self, path: str):
+        from gemma_tpu.io import native
+        dims = native.bimbam_dims(path)
+        if dims is None:
+            raise RuntimeError(
+                f"native parser unavailable; cannot stream {path}")
+        self._path = path
+        p, n = dims
+        self._n = n
+        self._p = p
+        stream = native.BimbamStream(path, n)
+        rs, a1, a0 = [], [], []
+        while True:
+            _, r, x1, x0 = stream.read_block(8192, metadata_only=True)
+            if not r:
+                break
+            rs += r
+            a1 += x1
+            a0 += x0
+        stream.close()
+        self.snps = SnpTable.from_lists(
+            chr_=["-9"] * p, rs=rs, cM=[-9.0] * p, pos=[-9] * p,
+            a_minor=a1, a_major=a0)
+        self._stream = None
+        self._X = None
+
+    @property
+    def n_snps(self) -> int:
+        return self._p
+
+    @property
+    def n_individuals(self) -> int:
+        return self._n
+
+    def _ensure_stream_at(self, row: int):
+        from gemma_tpu.io import native
+        if self._stream is None or self._stream.row > row:
+            if self._stream is not None:
+                self._stream.close()
+            self._stream = native.BimbamStream(self._path, self._n)
+        # skip forward to `row` (rows are parsed-and-discarded; the
+        # reference pays the same tokenisation cost when streaming)
+        while self._stream.row < row:
+            step = min(8192, row - self._stream.row)
+            _, r, _, _ = self._stream.read_block(step, metadata_only=True)
+            if not r:
+                break
+
+    def block(self, sel) -> np.ndarray:
+        sel = np.asarray(sel)
+        if self._X is not None:
+            return self._X[sel]
+        if sel.size == 0:
+            return np.empty((0, self._n))
+        lo, hi = int(sel.min()), int(sel.max())
+        self._ensure_stream_at(lo)
+        start = self._stream.row
+        span = np.empty((hi + 1 - start, self._n), dtype=np.float64)
+        filled = 0
+        while filled < span.shape[0]:
+            X, r, _, _ = self._stream.read_block(
+                min(8192, span.shape[0] - filled))
+            if not r:
+                break
+            span[filled:filled + len(r)] = X
+            filled += len(r)
+        return span[sel - start]
+
+    @property
+    def X(self) -> np.ndarray:
+        # legacy full materialisation (predict/BSLMM random access)
+        if self._X is None:
+            self._X = self.block(np.arange(self._p))
+        return self._X
+
+    def iter_blocks(self, block_size: int, snp_mask=None):
+        idx = np.arange(self._p)
+        if snp_mask is not None:
+            idx = idx[snp_mask]
+        for s in range(0, len(idx), block_size):
+            sel = idx[s:s + block_size]
+            yield sel, self.block(sel)
 
 
 def annotate_snps(snps: SnpTable, anno: dict) -> None:

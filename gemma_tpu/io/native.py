@@ -44,6 +44,15 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int64, ctypes.c_int64]
         lib.bimbam_parse.restype = ctypes.c_int64
+        lib.bimbam_open.argtypes = [ctypes.c_char_p]
+        lib.bimbam_open.restype = ctypes.c_void_p
+        lib.bimbam_close.argtypes = [ctypes.c_void_p]
+        lib.bimbam_close.restype = None
+        lib.bimbam_read_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64]
+        lib.bimbam_read_block.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -89,6 +98,71 @@ def parse_bimbam(path: str):
     a1 = _fixed(a1_buf, _ALLELE_LEN, p)
     a0 = _fixed(a0_buf, _ALLELE_LEN, p)
     return rs, a1, a0, X
+
+
+class BimbamStream:
+    """Incremental native reader over a (gzipped) BIMBAM file: read
+    SNP rows in bounded blocks without materialising the matrix
+    (gemma_io.cpp:1418-1597 streaming posture).  None-able: callers
+    must check `native.available()` first."""
+
+    def __init__(self, path: str, n_cols: int):
+        self._lib = _load()
+        self._h = self._lib.bimbam_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open {path}")
+        self.n_cols = n_cols
+        self.row = 0               # next file row the stream will yield
+
+    def read_block(self, max_rows: int, metadata_only: bool = False):
+        """Returns (X or None, rs, a1, a0) with ≤ max_rows rows; empty
+        arrays at EOF."""
+        lib = self._lib
+        rs_buf = ctypes.create_string_buffer(max_rows * _RS_LEN)
+        a1_buf = ctypes.create_string_buffer(max_rows * _ALLELE_LEN)
+        a0_buf = ctypes.create_string_buffer(max_rows * _ALLELE_LEN)
+        if metadata_only:
+            got = lib.bimbam_read_block(self._h, None, rs_buf, a1_buf,
+                                        a0_buf, max_rows, self.n_cols)
+            X = None
+        else:
+            X = np.empty((max_rows, self.n_cols), dtype=np.float64)
+            got = lib.bimbam_read_block(
+                self._h, X.ctypes.data_as(ctypes.c_void_p), rs_buf,
+                a1_buf, a0_buf, max_rows, self.n_cols)
+            X = X[:got]
+        self.row += got
+
+        def _fixed(buf, width):
+            raw = np.frombuffer(buf, dtype=f"S{width}", count=got)
+            return [s.split(b"\x00", 1)[0].decode() for s in raw]
+
+        return (X, _fixed(rs_buf, _RS_LEN), _fixed(a1_buf, _ALLELE_LEN),
+                _fixed(a0_buf, _ALLELE_LEN))
+
+    def close(self):
+        if self._h:
+            self._lib.bimbam_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def bimbam_dims(path: str):
+    """(n_rows, n_cols) via the native counting pass, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_rows = ctypes.c_int64()
+    n_cols = ctypes.c_int64()
+    if lib.bimbam_count(path.encode(), ctypes.byref(n_rows),
+                        ctypes.byref(n_cols)) != 0:
+        return None
+    return n_rows.value, n_cols.value
 
 
 def write_matrix_g10(path: str, M) -> bool:

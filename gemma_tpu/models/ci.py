@@ -297,6 +297,30 @@ def standardized_genotypes(X_raw: np.ndarray) -> np.ndarray:
     return (filled - mean[:, None]) / sd[:, None]
 
 
+def xwz_passes_fetch(fetch, p: int, n: int, w: np.ndarray, z: np.ndarray,
+                     cat: np.ndarray, n_vc: int, block: int = 4096):
+    """Streaming xwz passes: `fetch(lo, hi)` returns RAW dosage rows
+    (standardisation happens per block).  Two passes over the
+    genotypes — Xz/XWz accumulate first, then XtXWz needs the complete
+    XWz (exactly the reference's pass structure, vc.cpp:2220-2726) —
+    with RSS bounded by the block size."""
+    onehot = np.eye(n_vc)[cat]                            # (p, n_vc)
+    Xz = np.zeros((n, n_vc))
+    XWz = np.zeros((n, n_vc))
+    for s in range(0, p, block):
+        e = min(s + block, p)
+        Xs = standardized_genotypes(fetch(s, e))
+        Xz += Xs.T @ (onehot[s:e] * z[s:e, None])
+        XWz += Xs.T @ (onehot[s:e] * (w[s:e] * z[s:e])[:, None])
+    XtXWz = np.zeros((p, n_vc))
+    XWz_d = jnp.asarray(XWz)
+    for s in range(0, p, block):
+        e = min(s + block, p)
+        Xs = standardized_genotypes(fetch(s, e))
+        XtXWz[s:e] = np.asarray(jnp.asarray(Xs) @ XWz_d)
+    return Xz, XWz, XtXWz
+
+
 def xwz_passes(Xs, w: np.ndarray, z: np.ndarray, cat: np.ndarray,
                n_vc: int):
     """The three genotype passes as matmuls: Xz (unit weights), XWz

@@ -368,6 +368,71 @@ def jackknife_ak_to_s(A: np.ndarray, K: np.ndarray, n_cvt: int,
     return S_out, Svar
 
 
+def category_kinship_fetch(fetch, p: int, n: int, W: np.ndarray,
+                           cats: np.ndarray, n_vc: int,
+                           weights: np.ndarray | None = None,
+                           block: int = 4096):
+    """Streaming category_kinship: `fetch(lo, hi)` returns raw dosage
+    rows [lo, hi) of the p-SNP set, (k, n) with NaN missing.  Peak
+    memory is one block plus the (n_vc, n, n) accumulator — the
+    reference's streamed compKtoS posture (vc.cpp:2220-2475,
+    param.cpp:1717) instead of a (p, n) materialisation."""
+    K = np.zeros((n_vc, n, n))
+    ns = np.zeros(n_vc, dtype=np.int64)
+    WtW_inv_Wt = np.linalg.solve(W.T @ W, W.T)
+    w_all = np.ones(p) if weights is None else np.asarray(weights)
+    for s in range(0, p, block):
+        e = min(s + block, p)
+        raw = fetch(s, e)
+        miss = np.isnan(raw)
+        n_obs = np.maximum((~miss).sum(axis=1), 1)
+        mean = np.where(miss, 0.0, raw).sum(axis=1) / n_obs
+        Xc = np.where(miss, mean[:, None], raw) - mean[:, None]
+        Xc = Xc - (W @ (WtW_inv_Wt @ Xc.T)).T
+        var = np.einsum("ij,ij->i", Xc, Xc) / n
+        cb = cats[s:e]
+        ok = (var != 0) & (cb >= 0)
+        scale = np.where(ok, np.sqrt(np.where(
+            ok, w_all[s:e] / np.where(var != 0, var, 1), 0.0)), 0.0)
+        Xs = Xc * scale[:, None]
+        for c in range(n_vc):
+            sel = ok & (cb == c)
+            k = int(sel.sum())
+            if k:
+                Xd = jnp.asarray(Xs[sel])
+                Kd = jax.lax.dot_general(Xd, Xd, (((0,), (0,)), ((), ())))
+                K[c] += np.asarray(Kd)
+                ns[c] += k
+    for c in range(n_vc):
+        if ns[c]:
+            K[c] /= ns[c]
+    return K, ns
+
+
+def calc_s_fetch(fetch, p: int, W: np.ndarray, cats: np.ndarray,
+                 n_vc: int, weights: np.ndarray | None = None,
+                 weights_a: np.ndarray | None = None):
+    """Streaming calc_s: genotype passes via fetch(lo, hi), RSS
+    bounded by block size (see category_kinship_fetch)."""
+    n = W.shape[0]
+    Kstack, ns = category_kinship_fetch(fetch, p, n, W, cats, n_vc,
+                                        weights)
+    Kc = np.stack([
+        np.asarray(scale_matrix(center_matrix(jnp.asarray(Ki))))
+        for Ki in Kstack])
+    if weights_a is None:
+        Ac = Kc
+    else:
+        Astack, _ = category_kinship_fetch(fetch, p, n, W, cats, n_vc,
+                                           weights_a)
+        Ac = np.stack([
+            np.asarray(scale_matrix(center_matrix(jnp.asarray(Ai))))
+            for Ai in Astack])
+    S = comp_ak_to_s(Ac, Kc, W.shape[1])
+    S, Svar = jackknife_ak_to_s(Ac, Kc, W.shape[1], S)
+    return S, Svar, ns
+
+
 def calc_s(X_raw: np.ndarray, W: np.ndarray, cats: np.ndarray, n_vc: int,
            weights: np.ndarray | None = None,
            weights_a: np.ndarray | None = None):

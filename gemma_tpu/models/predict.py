@@ -78,6 +78,29 @@ def predict_effects(X_raw: np.ndarray, rs_names, indicator_idv: np.ndarray,
     return y_add, int(ok.sum())
 
 
+def predict_effects_fetch(fetch, rs_names, indicator_idv: np.ndarray,
+                          effects: dict, block: int = 4096) -> tuple:
+    """Streaming predict_effects: `fetch(sel)` returns the raw dosage
+    rows for (sorted) indices sel, so the (p, n) matrix never
+    materialises — the reference streams the genotype file the same
+    way (PRDT::AnalyzeBimbam, prdt.cpp:207-310)."""
+    test = ~indicator_idv
+    used = np.array([i for i, rs in enumerate(rs_names) if rs in effects],
+                    dtype=np.int64)
+    if used.size == 0:
+        return np.zeros(int(test.sum())), 0
+    y_add = np.zeros(int(test.sum()))
+    ns_used = 0
+    rs_arr = list(rs_names)
+    for s in range(0, len(used), block):
+        sel = used[s:s + block]
+        ya, k = predict_effects(fetch(sel), [rs_arr[i] for i in sel],
+                                indicator_idv, effects)
+        y_add += ya
+        ns_used += k
+    return y_add, ns_used
+
+
 def add_breeding_values(G_full: np.ndarray, u_hat: np.ndarray,
                         indicator_idv: np.ndarray) -> np.ndarray:
     """u_test = K_fo K_oo^+ u_hat with K centered by the training

@@ -60,6 +60,51 @@ def _banded_cor(Xn, bandwidth: int):
     return jnp.take_along_axis(full, idx, axis=1)
 
 
+def windowed_correlations_fetch(fetch, p: int, n: int, n_nb: np.ndarray,
+                                block: int = 2048):
+    """Streaming windowed correlations: `fetch(lo, hi)` returns raw
+    dosage rows, called with monotone lo (one file scan on a streaming
+    backend).  Only `block + bandwidth` normalised rows are held at
+    once — the reference's sliding-window posture (varcov.cpp:220-345)
+    instead of a (p, n) materialisation."""
+    bw = int(n_nb.max()) if len(n_nb) else 0
+    var = np.zeros(p)
+    cors = [np.zeros(0)] * p
+
+    def _normalize(raw, lo, hi):
+        miss = np.isnan(raw)
+        mean = np.nanmean(np.where(miss, np.nan, raw), axis=1)
+        Xc = np.where(miss, mean[:, None], raw) - mean[:, None]
+        ss = np.einsum("ij,ij->i", Xc, Xc)
+        var[lo:hi] = ss / n
+        return Xc / np.sqrt(np.where(ss > 0, ss, 1.0))[:, None]
+
+    if bw == 0:
+        for s in range(0, p, block):
+            e = min(s + block, p)
+            _normalize(fetch(s, e), s, e)
+        return var, cors
+
+    carry = np.zeros((0, n))
+    fetched = 0
+    s = 0
+    while s < p:
+        e = min(s + block, p)
+        hi = min(e + bw, p)
+        if hi > fetched:
+            new = _normalize(fetch(fetched, hi), fetched, hi)
+            carry = np.vstack([carry, new]) if carry.size else new
+            fetched = hi
+        # carry holds normalised rows [s, fetched)
+        band = np.asarray(_banded_cor(jnp.asarray(carry), bw))[:e - s]
+        for i in range(s, e):
+            k = int(n_nb[i])
+            cors[i] = band[i - s, :k].copy()
+        carry = carry[e - s:]
+        s = e
+    return var, cors
+
+
 def windowed_correlations(X_raw: np.ndarray, n_nb: np.ndarray,
                           block: int = 2048):
     """Per-SNP variance and in-window correlations.

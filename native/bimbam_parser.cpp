@@ -84,9 +84,81 @@ inline const char* next_token(const char* p, const char** tok_end) {
   return p;
 }
 
+// Parse one SNP line: metadata into rs/a1/a0 (fixed-width records at
+// index r) and, when data != nullptr, dosages into data (NaN for NA).
+inline void parse_row(const std::string& line, double* data, char* rs,
+                      char* a1, char* a0, int64_t r, int64_t n_cols) {
+  const char* p = line.c_str();
+  const char* e;
+
+  p = next_token(p, &e);
+  size_t len = std::min<size_t>(e - p, RS_LEN - 1);
+  memcpy(rs + r * RS_LEN, p, len);
+  memset(rs + r * RS_LEN + len, 0, RS_LEN - len);
+  p = next_token(e, &e);
+  len = std::min<size_t>(e - p, ALLELE_LEN - 1);
+  memcpy(a1 + r * ALLELE_LEN, p, len);
+  memset(a1 + r * ALLELE_LEN + len, 0, ALLELE_LEN - len);
+  p = next_token(e, &e);
+  len = std::min<size_t>(e - p, ALLELE_LEN - 1);
+  memcpy(a0 + r * ALLELE_LEN, p, len);
+  memset(a0 + r * ALLELE_LEN + len, 0, ALLELE_LEN - len);
+
+  if (data == nullptr) return;
+  const double nan_v = std::nan("");
+  double* row = data + r * n_cols;
+  int64_t c = 0;
+  p = e;
+  while (c < n_cols) {
+    p = next_token(p, &e);
+    if (p == e) break;
+    if (p[0] == 'N' && p[1] == 'A') {
+      row[c] = nan_v;
+    } else {
+      char* endp;
+      row[c] = strtod(p, &endp);
+    }
+    ++c;
+    p = e;
+  }
+  for (; c < n_cols; ++c) row[c] = nan_v;
+}
+
 }  // namespace
 
 extern "C" {
+
+// ---- streaming interface (bounded-memory ingestion; the two-pass
+// streaming posture of ReadFile_geno/BimbamKin, gemma_io.cpp:639-873,
+// 1418-1597, without ever holding the (p, n) matrix) ----
+
+void* bimbam_open(const char* path) {
+  GzLines* r = new GzLines(path);
+  if (!r->ok()) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+void bimbam_close(void* handle) {
+  delete static_cast<GzLines*>(handle);
+}
+
+// Read up to max_rows SNP rows.  data may be NULL for a metadata-only
+// pass (dosage parsing skipped).  Returns rows read (0 at EOF).
+int64_t bimbam_read_block(void* handle, double* data, char* rs, char* a1,
+                          char* a0, int64_t max_rows, int64_t n_cols) {
+  GzLines* reader = static_cast<GzLines*>(handle);
+  std::string line;
+  int64_t r = 0;
+  while (r < max_rows && reader->next(&line)) {
+    if (line.empty()) continue;
+    parse_row(line, data, rs, a1, a0, r, n_cols);
+    ++r;
+  }
+  return r;
+}
 
 // First pass: number of SNP rows and genotype columns.
 int bimbam_count(const char* path, int64_t* n_rows, int64_t* n_cols) {
@@ -123,42 +195,9 @@ int64_t bimbam_parse(const char* path, double* data, char* rs, char* a1,
   if (!reader.ok()) return -1;
   std::string line;
   int64_t r = 0;
-  const double nan_v = std::nan("");
   while (r < n_rows && reader.next(&line)) {
     if (line.empty()) continue;
-    const char* p = line.c_str();
-    const char* e;
-
-    // rs, allele1, allele0
-    p = next_token(p, &e);
-    size_t len = std::min<size_t>(e - p, RS_LEN - 1);
-    memcpy(rs + r * RS_LEN, p, len);
-    memset(rs + r * RS_LEN + len, 0, RS_LEN - len);
-    p = next_token(e, &e);
-    len = std::min<size_t>(e - p, ALLELE_LEN - 1);
-    memcpy(a1 + r * ALLELE_LEN, p, len);
-    memset(a1 + r * ALLELE_LEN + len, 0, ALLELE_LEN - len);
-    p = next_token(e, &e);
-    len = std::min<size_t>(e - p, ALLELE_LEN - 1);
-    memcpy(a0 + r * ALLELE_LEN, p, len);
-    memset(a0 + r * ALLELE_LEN + len, 0, ALLELE_LEN - len);
-
-    double* row = data + r * n_cols;
-    int64_t c = 0;
-    p = e;
-    while (c < n_cols) {
-      p = next_token(p, &e);
-      if (p == e) break;  // ran out of tokens
-      if (p[0] == 'N' && p[1] == 'A') {
-        row[c] = nan_v;
-      } else {
-        char* endp;
-        row[c] = strtod(p, &endp);
-      }
-      ++c;
-      p = e;
-    }
-    for (; c < n_cols; ++c) row[c] = nan_v;  // short rows → missing
+    parse_row(line, data, rs, a1, a0, r, n_cols);
     ++r;
   }
   return r;
