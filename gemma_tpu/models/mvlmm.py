@@ -129,10 +129,22 @@ def _em_then_nr_block(eval_, X0, Y, x_block, Vg_null, Ve_null, B_null,
     B0 = jnp.broadcast_to(B_null, (S, d, c + 1))
     Vg, Ve, _, _ = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
                                Vg0, Ve0, B0)
-    Vg2, Ve2, logl, _ = core.mph_nr(reml, nr_iter, nr_prec, eval_, X_alt,
-                                    Y, Vg, Ve)
+    Vg2, Ve2, logl, Hvar = core.mph_nr(reml, nr_iter, nr_prec, eval_,
+                                       X_alt, Y, Vg, Ve)
     stat, beta, Vbeta = core.mph_calc_p(eval_, x_block, X0, Y, Vg2, Ve2)
-    return logl, stat, beta, Vbeta
+    return logl, stat, beta, Vbeta, Vg2, Ve2, Hvar
+
+
+@jax.jit
+def _crt_block(eval_, X0, Y, x_block, Vg, Ve, Hvar):
+    """CRT factors for a compacted block at its per-SNP NR optimum
+    (CalcCRT via mvlmm_core.calc_crt); Hvar = -H^{-1} from mph_nr."""
+    S = x_block.shape[0]
+    c = X0.shape[0]
+    X_alt = jnp.concatenate(
+        [jnp.broadcast_to(X0, (S, c, X0.shape[1])), x_block[:, None, :]],
+        axis=1)
+    return core.calc_crt(eval_, X_alt, Y, Vg, Ve, Hvar)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -223,18 +235,26 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
         p_score = np.array(chisq_sf(stat, float(d)))
         beta, Vbeta = np.array(b), np.array(Vb)
 
+    use_crt = getattr(cfg, "crt", 0) == 1
+
     def _nr_refine(reml: bool, idx: np.ndarray):
         """EM-refit then NR for the compacted lanes idx, padded to a
-        power-of-two bucket so jit signatures stay bounded."""
+        power-of-two bucket so jit signatures stay bounded.  With
+        -crt, also returns the Edgeworth factors at the NR optimum."""
         size = _bucket(len(idx))
         xs = _pad_rows(jnp.asarray(x_block[idx]), size)
-        logl2, stat2, b2, Vb2 = _em_then_nr_block(
+        logl2, stat2, b2, Vb2, Vg2, Ve2, Hvar = _em_then_nr_block(
             eval_, X0, Y, xs, null.Vg_start, null.Ve_start, null.B_start,
             reml=reml, em_iter=em_iter, em_prec=em_prec,
             nr_iter=nr_iter, nr_prec=nr_prec)
         k = len(idx)
+        crt_abc = None
+        if use_crt:
+            ca, cb, cc = _crt_block(eval_, X0, Y, xs, Vg2, Ve2, Hvar)
+            crt_abc = (np.asarray(ca)[:k], np.asarray(cb)[:k],
+                       np.asarray(cc)[:k])
         return (np.asarray(logl2)[:k], np.asarray(stat2)[:k],
-                np.asarray(b2)[:k], np.asarray(Vb2)[:k])
+                np.asarray(b2)[:k], np.asarray(Vb2)[:k], crt_abc)
 
     if mode in (2, 4):
         logl, stat, b, Vb = _assoc_em_block(
@@ -245,9 +265,12 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
         beta, Vbeta = np.array(b), np.array(Vb)
         idx = np.flatnonzero(p_lrt < cfg.p_nr)
         if len(idx):
-            logl2, stat2, b2, Vb2 = _nr_refine(False, idx)
-            p_lrt[idx] = np.asarray(
+            logl2, stat2, b2, Vb2, crt_abc = _nr_refine(False, idx)
+            p_ref = np.asarray(
                 chisq_sf(2.0 * (logl2 - null.logl_mle_H0), float(d)))
+            if use_crt:
+                p_ref = core.pcrt(2, d, p_ref, *crt_abc)
+            p_lrt[idx] = p_ref
             beta[idx] = b2
             Vbeta[idx] = Vb2
 
@@ -259,8 +282,11 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
         beta, Vbeta = np.array(b), np.array(Vb)
         idx = np.flatnonzero(p_wald < cfg.p_nr)
         if len(idx):
-            logl2, stat2, b2, Vb2 = _nr_refine(True, idx)
-            p_wald[idx] = np.asarray(chisq_sf(stat2, float(d)))
+            logl2, stat2, b2, Vb2, crt_abc = _nr_refine(True, idx)
+            p_ref = np.asarray(chisq_sf(stat2, float(d)))
+            if use_crt:
+                p_ref = core.pcrt(1, d, p_ref, *crt_abc)
+            p_wald[idx] = p_ref
             beta[idx] = b2
             Vbeta[idx] = Vb2
 

@@ -56,6 +56,53 @@ def sym_to_vech(M, d: int):
     return M[..., rows[order], cols[order]]
 
 
+def _eigh2x2(M):
+    """Closed-form symmetric 2x2 eigendecomposition, batched.
+
+    Batched tiny `jnp.linalg.eigh` is iteration-bound on TPU (the MXU
+    sees no work); the analytic form is a handful of VPU elementwise
+    ops and autodiff-friendly — it carries the per-SNP EM/NR hot loop
+    for the most common mvLMM case d=2 (CalcQi/CalcSigma profile,
+    releases.org:139-156).  Returns (w ascending, V) like eigh.
+    """
+    a = M[..., 0, 0]
+    b = M[..., 0, 1]
+    d = M[..., 1, 1]
+    t = 0.5 * (a + d)
+    # guard the sqrt at b==0, a==d (grad of sqrt(0) is nan)
+    h2 = (0.5 * (a - d)) ** 2 + b * b
+    r = jnp.sqrt(jnp.maximum(h2, jnp.finfo(M.dtype).tiny))
+    w1 = t - r
+    w2 = t + r
+    # eigenvector for w2: (b, w2 - a) or (w2 - d, b) — pick the
+    # better-conditioned form per lane
+    use1 = jnp.abs(w2 - a) >= jnp.abs(w2 - d)
+    vx = jnp.where(use1, b, w2 - d)
+    vy = jnp.where(use1, w2 - a, b)
+    # b==0: diagonal matrix — unit vectors by diagonal order
+    diag = jnp.abs(b) <= jnp.finfo(M.dtype).tiny * 8
+    big_is_a = a >= d
+    vx = jnp.where(diag, jnp.where(big_is_a, 1.0, 0.0), vx)
+    vy = jnp.where(diag, jnp.where(big_is_a, 0.0, 1.0), vy)
+    nrm = jnp.sqrt(vx * vx + vy * vy)
+    nrm = jnp.where(nrm == 0, 1.0, nrm)
+    vx = vx / nrm
+    vy = vy / nrm
+    w = jnp.stack([w1, w2], axis=-1)
+    # V columns: v(w1) = (-vy, vx) (orthogonal complement), v(w2)
+    V = jnp.stack([jnp.stack([-vy, vx], axis=-1),
+                   jnp.stack([vx, vy], axis=-1)], axis=-1)
+    return w, V
+
+
+def _sym_eigh(M):
+    """Batched symmetric eigh: closed form for d=2, LAPACK-backed
+    `jnp.linalg.eigh` otherwise."""
+    if M.shape[-1] == 2:
+        return _eigh2x2(M)
+    return jnp.linalg.eigh(M)
+
+
 def eigen_proc(Vg, Ve):
     """Simultaneous diagonalisation of (Vg, Ve).
 
@@ -63,7 +110,7 @@ def eigen_proc(Vg, Ve):
     axes.  Mirrors EigenProc: nonpositive Ve eigenvalues are skipped
     (pseudo-root), negative D_l are zeroed.
     """
-    ev, Uv = jnp.linalg.eigh(Ve)
+    ev, Uv = _sym_eigh(Ve)
     pos = ev > 0
     sqrt_ev = jnp.sqrt(jnp.where(pos, ev, 1.0))
     logdet_Ve = jnp.sum(jnp.where(pos, jnp.log(jnp.where(pos, ev, 1.0)), 0.0),
@@ -74,7 +121,7 @@ def eigen_proc(Vg, Ve):
     Vehi = jnp.einsum("...ik,...k,...jk->...ij", Uv,
                       jnp.where(pos, 1.0 / sqrt_ev, 0.0), Uv)
     Lam = Vehi @ Vg @ Vehi
-    D_l, Ul = jnp.linalg.eigh(Lam)
+    D_l, Ul = _sym_eigh(Lam)
     D_l = jnp.where(D_l < 0, 0.0, D_l)
     UltVeh = jnp.swapaxes(Ul, -1, -2) @ Veh
     UltVehi = jnp.swapaxes(Ul, -1, -2) @ Vehi
@@ -299,7 +346,7 @@ def _nr_logl_fn(reml: bool, eval_, X, Y):
 
 def _is_pd(M):
     """Positive-definiteness check via eigenvalues (all > 0)."""
-    ev = jnp.linalg.eigvalsh(M)
+    ev = _sym_eigh(M)[0] if M.shape[-1] == 2 else jnp.linalg.eigvalsh(M)
     return jnp.all(ev > 0, axis=-1)
 
 
@@ -413,6 +460,173 @@ def mph_nr(reml: bool, max_iter: int, prec: float, eval_, X, Y, Vg0, Ve0):
     )
     out = jax.lax.while_loop(cond, body, state)
     return out.Vg, out.Ve, out.logl, -out.Hinv
+
+
+# ---------------------------------------------------------------------------
+# Edgeworth small-sample correction (-crt): CalcCRT mvlmm.cpp:2054-2330,
+# PCRT mvlmm.cpp:2952-2970 (Rothenberg, Econometrica 1984)
+
+def _vech_basis(d: int) -> np.ndarray:
+    """(v_size, d, d) symmetric derivative matrices D_v = dH/dv in
+    GEMMA's convention: off-diagonal elements vary together (1 at both
+    (i,j) and (j,i); Calc_xHiDHix mvlmm.cpp:1170-1215) — the same
+    convention vech_to_sym induces for the autodiff Hessian."""
+    v_size = d * (d + 1) // 2
+    S = np.zeros((v_size, d, d))
+    for i in range(d):
+        for j in range(i, d):
+            v = vech_index(i, j, d)
+            S[v, i, j] = 1.0
+            S[v, j, i] = 1.0
+    return S
+
+
+def _calc_crt_one(eval_, X, Y, Vg, Ve, Hvar):
+    """CRT factors (crt_a, crt_b, crt_c) for one SNP at its NR optimum.
+
+    X: (c, n) covariates WITH the tested SNP as the last row (the
+    reference appends it the same way; the (c-1)-th d×d block of Qi is
+    the SNP block, mvlmm.cpp:2099-2101).  All quantities live in the
+    original phenotype basis: Hi_k = (delta_k Vg + Ve)^{-1} via the
+    whitening transform (CalcHiQi, mvlmm.cpp:942-1013), Qi is the
+    back-rotated inverse of sum_k x_k x_k' kron Hi_k.  Hvar is
+    -Hessian^{-1} of the (restricted) likelihood in vech(Vg, Ve) at
+    the optimum, as mph_nr returns it — the same observed information
+    CalcDev builds by hand and CalcCRT negates (mvlmm.cpp:2305-2307).
+    """
+    d = Vg.shape[-1]
+    c = X.shape[-2]
+    v_size = d * (d + 1) // 2
+    dtype = Y.dtype
+    Svs = jnp.asarray(_vech_basis(d), dtype)
+
+    D_l, UltVeh, UltVehi, _ = eigen_proc(Vg, Ve)
+    w = 1.0 / (D_l[:, None] * eval_ + 1.0)                 # (d, n)
+    # Hi[k] = UltVehi' diag(w_k) UltVehi — (n, d, d), original basis
+    Hi = jnp.einsum("li,ln,lj->nij", UltVehi, w, UltVehi)
+
+    Qi_w, _ = calc_qi(eval_, D_l, X)
+    Qi5 = Qi_w.reshape(c, d, c, d)
+    # back-rotate: Qi = (I kron UltVeh') Qi_white (I kron UltVeh)
+    Qi = jnp.einsum("ki,akbl,lj->aibj", UltVeh, Qi5, UltVeh
+                    ).reshape(c * d, c * d)
+
+    # HiS[v, k] = Hi_k D_v Hi_k — (v, n, d, d)
+    HiS = jnp.einsum("nij,vjl,nlm->vnim", Hi, Svs, Hi)
+    # M_e[v] = sum_k x_k x_k' kron HiS[v,k]; M_g with extra delta_k
+    # (Calc_xHiDHix_all, mvlmm.cpp:1650-1675), flattened (v, dc, dc)
+    Me = jnp.einsum("an,vnij,bn->vaibj", X, HiS, X
+                    ).reshape(v_size, c * d, c * d)
+    Mg = jnp.einsum("an,n,vnij,bn->vaibj", X, eval_, HiS, X
+                    ).reshape(v_size, c * d, c * d)
+
+    QiM_g = jnp.einsum("ij,vjk->vik", Qi, Mg)
+    QiM_e = jnp.einsum("ij,vjk->vik", Qi, Me)
+    QiMQi_g = jnp.einsum("vij,jk->vik", QiM_g, Qi)
+    QiMQi_e = jnp.einsum("vij,jk->vik", QiM_e, Qi)
+
+    s0 = (c - 1) * d                                       # SNP block
+    Qi_si = jnp.linalg.inv(Qi[s0:s0 + d, s0:s0 + d])
+    # C_g[v] = QiMQi_g[v]_s @ Qi_si; trCg[v] = -tr(C_g[v])
+    Cg = QiMQi_g[:, s0:s0 + d, s0:s0 + d] @ Qi_si
+    Ce = QiMQi_e[:, s0:s0 + d, s0:s0 + d] @ Qi_si
+    trCg = -jnp.trace(Cg, axis1=-2, axis2=-1)
+    trCe = -jnp.trace(Ce, axis1=-2, axis2=-1)
+
+    # h_xx = -Hessian_inv (mvlmm.cpp:2305-2307) = Hvar blocks
+    h_gg = Hvar[:v_size, :v_size]
+    h_ge = Hvar[:v_size, v_size:]
+    h_ee = Hvar[v_size:, v_size:]
+
+    B = jnp.zeros((), dtype)
+    C = jnp.zeros((), dtype)
+    D = jnp.zeros((), dtype)
+    for v1 in range(v_size):
+        # E[v2, k] = Hi D_{v1} Hi D_{v2} Hi = HiS[v1] @ D_{v2} @ Hi
+        E = jnp.einsum("nij,wjl,nlm->wnim", HiS[v1], Svs, Hi)
+        # MM_xx[v2] = sum_k delta^p x_k x_k' kron E[v2,k]
+        # (Calc_xHiDHiDHix, mvlmm.cpp:1350-1460: single product order;
+        # the ge cross terms pick up a 2x in trB below)
+        MM_ee = jnp.einsum("an,wnij,bn->waibj", X, E, X
+                           ).reshape(v_size, c * d, c * d)
+        MM_ge = jnp.einsum("an,n,wnij,bn->waibj", X, eval_, E, X
+                           ).reshape(v_size, c * d, c * d)
+        MM_gg = jnp.einsum("an,n,wnij,bn->waibj", X, eval_ * eval_, E, X
+                           ).reshape(v_size, c * d, c * d)
+
+        for v2 in range(v1, v_size):
+            QiMQiMQi_gg = QiM_g[v1] @ QiMQi_g[v2]
+            QiMQiMQi_ge = QiM_g[v1] @ QiMQi_e[v2] + QiM_e[v1] @ QiMQi_g[v2]
+            QiMQiMQi_ee = QiM_e[v1] @ QiMQi_e[v2]
+
+            trB_gg = -jnp.trace(
+                QiMQiMQi_gg[s0:s0 + d, s0:s0 + d] @ Qi_si)
+            trB_ge = -jnp.trace(
+                QiMQiMQi_ge[s0:s0 + d, s0:s0 + d] @ Qi_si)
+            trB_ee = -jnp.trace(
+                QiMQiMQi_ee[s0:s0 + d, s0:s0 + d] @ Qi_si)
+
+            QiMMQi_gg = Qi @ MM_gg[v2] @ Qi
+            QiMMQi_ge = Qi @ MM_ge[v2] @ Qi
+            QiMMQi_ee = Qi @ MM_ee[v2] @ Qi
+            trB_gg = trB_gg + jnp.trace(
+                QiMMQi_gg[s0:s0 + d, s0:s0 + d] @ Qi_si)
+            trB_ge = trB_ge + 2.0 * jnp.trace(
+                QiMMQi_ge[s0:s0 + d, s0:s0 + d] @ Qi_si)
+            trB_ee = trB_ee + jnp.trace(
+                QiMMQi_ee[s0:s0 + d, s0:s0 + d] @ Qi_si)
+
+            trCC_gg = jnp.trace(Cg[v1] @ Cg[v2])
+            trCC_ge = jnp.trace(Cg[v1] @ Ce[v2]) + jnp.trace(Ce[v1] @ Cg[v2])
+            trCC_ee = jnp.trace(Ce[v1] @ Ce[v2])
+
+            trD_gg, trD_ge, trD_ee = 2 * trB_gg, 2 * trB_ge, 2 * trB_ee
+
+            # the v1!=v2 terms are DOUBLED with the same h values —
+            # GEMMA's asymmetric-h quirk kept (mvlmm.cpp:2309-2325)
+            mult = 1.0 if v1 == v2 else 2.0
+            hg, he, hx = h_gg[v1, v2], h_ge[v1, v2], h_ee[v1, v2]
+            B = B + mult * (hg * trB_gg + he * trB_ge + hx * trB_ee)
+            C = C + mult * (
+                hg * (trCC_gg + 0.5 * trCg[v1] * trCg[v2])
+                + he * (trCC_ge + 0.5 * trCg[v1] * trCe[v2]
+                        + 0.5 * trCe[v1] * trCg[v2])
+                + hx * (trCC_ee + 0.5 * trCe[v1] * trCe[v2]))
+            D = D + mult * (
+                hg * (trCC_gg + 0.5 * trD_gg)
+                + he * (trCC_ge + 0.5 * trD_ge)
+                + hx * (trCC_ee + 0.5 * trD_ee))
+
+    return 2.0 * D - C, 2.0 * B, C              # crt_a, crt_b, crt_c
+
+
+@jax.jit
+def calc_crt(eval_, X_batch, Y, Vg_batch, Ve_batch, Hvar_batch):
+    """Batched CRT factors for compacted lanes: X_batch (S, c, n) with
+    the SNP as last covariate row; Vg/Ve (S, d, d) and Hvar
+    (S, 2v, 2v) = -H^{-1} at the per-SNP NR optimum (from mph_nr).
+    Returns (crt_a, crt_b, crt_c) each (S,)."""
+    return jax.vmap(lambda X, Vg, Ve, Hv: _calc_crt_one(
+        eval_, X, Y, Vg, Ve, Hv))(X_batch, Vg_batch, Ve_batch, Hvar_batch)
+
+
+def pcrt(mode: int, d: int, p_value, crt_a, crt_b, crt_c):
+    """Apply the correction to a p-value (PCRT, mvlmm.cpp:2952-2970):
+    mode 1 Wald, 2 LRT, 3 score (score passes through unchanged, as in
+    the reference's else-branch)."""
+    import scipy.stats
+    q = float(d)
+    chisq = scipy.stats.chi2.isf(p_value, q)
+    if mode == 1:
+        a = crt_c / (2.0 * q * (q + 2.0))
+        b = 1.0 + (crt_a + crt_b) / (2.0 * q)
+        chisq_crt = (-b + np.sqrt(np.maximum(b * b + 4.0 * a * chisq, 0.0))
+                     ) / (2.0 * a)
+    elif mode == 2:
+        chisq_crt = chisq / (1.0 + crt_a / (2.0 * q))
+    else:
+        chisq_crt = chisq
+    return scipy.stats.chi2.sf(chisq_crt, q)
 
 
 # ---------------------------------------------------------------------------

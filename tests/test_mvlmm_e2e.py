@@ -93,3 +93,59 @@ def test_mvlmm_two_traits_end_to_end(tmp_path):
     header = open(f"{out}/mv.assoc.txt").readline().split("\t")
     assert "beta_1" in header and "Vbeta_1_2" in header
     assert header[-1].strip() == "p_wald"
+
+
+@pytest.mark.skipif(not os.path.exists(ISSUE243 + ".bed"),
+                    reason="issue243 data not available")
+def test_crt_changes_refined_pvalues(tmp_path):
+    """-crt applies the Edgeworth small-sample correction to every
+    NR-refined p-value (PCRT, mvlmm.cpp:2952-2970 applied at
+    3302-3365); un-refined SNPs are untouched.  The null model is fit
+    once and mvlmm_assoc runs twice with the flag toggled (the null is
+    crt-independent in the reference too)."""
+    from gemma_tpu.models.mvlmm import MvlmmNull, mvlmm_assoc
+    from gemma_tpu.dataset import load_dataset
+    from gemma_tpu.run import _load_or_compute_eigen, _device_imputed
+    from gemma_tpu.utils.log import RunLog
+
+    out = str(tmp_path)
+    snps = str(tmp_path / "subset.txt")
+    with open(ISSUE243 + ".bim") as fh, open(snps, "w") as sub:
+        for i, line in enumerate(fh):
+            if i >= 64:
+                break
+            sub.write(line.split()[1] + "\n")
+    batch_run(parse_args(
+        f"-bfile {ISSUE243} -gk 1 -o K -outdir {out} -snps {snps} "
+        f"-precision float64".split()))
+    # -pnr 0.9 forces NR refinement (and thus the correction) on most
+    # SNPs, with a single compile bucket
+    common = (f"-bfile {ISSUE243} -k {out}/K.cXX.txt -lmm 1 -n 1 2 "
+              f"-snps {snps} -outdir {out} -precision float64 "
+              f"-no-check -pnr 0.9")
+    cfg0 = parse_args((common + " -o plain").split())
+    cfg1 = parse_args((common + " -crt -o crt").split())
+    ds = load_dataset(cfg0)
+    eval_, U, _ = _load_or_compute_eigen(cfg0, ds, RunLog(argv=[]),
+                                         jnp.float64)
+    X0 = (U.T @ jnp.asarray(ds.W)).T
+    Y = (U.T @ jnp.asarray(ds.Y)).T
+    null = MvlmmNull(eval_, X0, Y, cfg0)
+
+    idx = np.flatnonzero(ds.qc.indicator_snp)
+    Utx = _device_imputed(ds, idx, len(idx), jnp.float64) @ U
+    r0 = mvlmm_assoc(eval_, X0, Y, Utx, null, 1, cfg0, jnp.float64)
+    r1 = mvlmm_assoc(eval_, X0, Y, Utx, null, 1, cfg1, jnp.float64)
+
+    p0 = r0["p_wald"]
+    p1 = r1["p_wald"]
+    refined = p0 < 0.85          # clear of the 0.9 threshold
+    untouched = p0 > 0.95
+    assert refined.sum() >= 10, "need refined SNPs to exercise -crt"
+    # corrected p-values differ on refined SNPs...
+    assert np.max(np.abs(p1[refined] - p0[refined])) > 1e-6
+    # ...are valid, and untouched elsewhere
+    assert np.all((p1[refined] > 0) & (p1[refined] <= 1))
+    if untouched.any():
+        np.testing.assert_allclose(p1[untouched], p0[untouched],
+                                   rtol=1e-12)
