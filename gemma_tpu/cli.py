@@ -353,9 +353,16 @@ def parse_args(argv: list) -> GemmaConfig:
                 "ldr.h:65) and deliberately not built")
         elif a in ("-silence", "--quiet"):
             cfg.quiet = True
-        elif a in ("-strict", "-no-fpe-check", "-legacy", "-issue"):
-            if a == "-issue":
-                take()
+        elif a == "-strict":
+            # escalate validation warnings to hard stops
+            # (debug.h:144-191 `-strict` semantics)
+            cfg.strict = True
+        elif a == "-no-fpe-check":
+            cfg.fpe_check = False
+        elif a == "-legacy":
+            cfg.legacy = True
+        elif a == "-issue":
+            take()   # parsed-and-ignored (runtime issue asserts)
         elif a == "-precision":
             cfg.precision = take()
         elif a == "-block-size":
@@ -382,6 +389,14 @@ def parse_args(argv: list) -> GemmaConfig:
 def main(argv: list | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     cfg = parse_args(argv)
+    import os
+    plat = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plat:
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor
+        # it here via config before backend init so `JAX_PLATFORMS=cpu
+        # python -m gemma_tpu ...` really runs on CPU
+        import jax
+        jax.config.update("jax_platforms", plat)
     from gemma_tpu.run import batch_run
     batch_run(cfg, argv=["gemma-tpu"] + list(argv))
 

@@ -141,6 +141,9 @@ class GemmaConfig:
     precision: str = "auto"     # float64 (CPU parity) / float32 (TPU) / auto
     block_size: int = 4096      # SNPs per device batch
     check: bool = True
+    strict: bool = False        # -strict: escalate warnings to errors
+    fpe_check: bool = True      # -no-fpe-check disables NaN debugging
+    legacy: bool = False        # -legacy: pre-0.98 behaviour toggle
     debug: bool = False
     d_pace: int = 100000        # -pace progress stride
     quiet: bool = False         # -silence/--quiet

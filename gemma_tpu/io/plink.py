@@ -28,6 +28,14 @@ for _v in range(256):
     for _j in range(4):
         _BYTE_LUT[_v, _j] = _CODE_TO_DOSAGE[(_v >> (2 * _j)) & 3]
 
+# same decode straight to the int8 wire encoding (missing = -1):
+# 1 byte per dosage over the host->device link instead of 8
+_CODE_TO_I8 = np.array([2, -1, 1, 0], dtype=np.int8)
+_BYTE_LUT_I8 = np.empty((256, 4), dtype=np.int8)
+for _v in range(256):
+    for _j in range(4):
+        _BYTE_LUT_I8[_v, _j] = _CODE_TO_I8[(_v >> (2 * _j)) & 3]
+
 
 def read_bim(path: str) -> SnpTable:
     chr_, rs, cM, pos, a1, a0 = [], [], [], [], [], []
@@ -115,6 +123,12 @@ class LazyBedGenotypes:
 
     def block(self, sel) -> np.ndarray:
         decoded = _BYTE_LUT[self._body[sel]]
+        return decoded.reshape(len(sel), -1)[:, :self._n]
+
+    def block_i8(self, sel) -> np.ndarray:
+        """Decode rows straight to int8 dosages (-1 = missing) — the
+        host->device wire format (8x less tunnel traffic than f64)."""
+        decoded = _BYTE_LUT_I8[self._body[sel]]
         return decoded.reshape(len(sel), -1)[:, :self._n]
 
     @property

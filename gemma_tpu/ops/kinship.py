@@ -70,19 +70,34 @@ class KinshipAccumulator:
     program (impute+center+scale+matmul).  Block sizes should be padded
     to a fixed set of shapes to avoid recompilation — pad rows with NaN
     (they contribute nothing).
+
+    With `mesh`, each update is SNP-sharded over the devices: every
+    device accumulates its shard's partial X'X and one psum merges
+    them (the multi-chip rebirth of the 20k-SNP dgemm batch,
+    gemma_io.cpp:1553-1561).  Blocks may then also arrive as int8
+    dosages (missing = -1, the .bed wire format).
     """
 
-    def __init__(self, n_individuals: int, scale: bool = False, dtype=jnp.float32):
+    def __init__(self, n_individuals: int, scale: bool = False,
+                 dtype=jnp.float32, mesh=None):
         self.n = n_individuals
         self.scale = scale
         self.K = jnp.zeros((n_individuals, n_individuals), dtype=dtype)
         self.ns_test = 0
+        self._sharded_fn = None
+        if mesh is not None:
+            from gemma_tpu.parallel.shard import kinship_pipeline
+            self._sharded_fn = kinship_pipeline(
+                mesh, scale, jnp.dtype(dtype).name)
 
     def update(self, raw_block: np.ndarray, n_valid: int | None = None):
         """raw_block: (block, n) with NaN missing; all-NaN rows are padding."""
         if n_valid is None:
             n_valid = int(np.sum(~np.all(np.isnan(raw_block), axis=1)))
-        self.K = kinship_update(self.K, raw_block, scale=self.scale)
+        if self._sharded_fn is not None:
+            self.K = self._sharded_fn(self.K, raw_block)
+        else:
+            self.K = kinship_update(self.K, raw_block, scale=self.scale)
         self.ns_test += n_valid
 
     def finalize(self):

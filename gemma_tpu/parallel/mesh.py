@@ -1,4 +1,4 @@
-"""Device mesh construction.
+"""Device mesh construction + multi-host initialization.
 
 The reference is single-process with threaded BLAS (SURVEY.md §2.2);
 all distribution here is new design.  The natural axes for mixed-model
@@ -11,17 +11,55 @@ GWAS are:
     eigendecomposition at biobank scale (2-D sharded matmuls; the
     distributed eigensolver lives in parallel/eigh.py).
 
-Multi-host: `jax.distributed.initialize()` before mesh construction;
-collectives ride ICI within a slice and DCN across hosts, chosen by
-XLA from the mesh layout.
+Multi-host: `distributed_init()` (below) calls
+`jax.distributed.initialize()` when coordinator env vars are present;
+collectives then ride ICI within a slice and DCN across hosts, chosen
+by XLA from the mesh layout.  The reference's analogue is a no-op —
+it merely logs the OpenBLAS thread count (gemma.cpp:3170-3177).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 import jax
 from jax.sharding import Mesh
+
+_distributed_initialized = False
+
+
+def distributed_init() -> bool:
+    """Initialize the multi-host JAX runtime when launched as part of a
+    pod job.  Detection: the standard JAX coordination env vars
+    (`JAX_COORDINATOR_ADDRESS`/`JAX_NUM_PROCESSES`/`JAX_PROCESS_ID`,
+    or our `GEMMA_TPU_COORDINATOR` aliases).  Single-process runs
+    (no env vars) skip initialization entirely.
+
+    Returns True if `jax.distributed.initialize` was called.  Safe to
+    call more than once.  Must run before the first backend touch; the
+    CLI calls it at the top of `batch_run`.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
+        return True
+    coord = (os.environ.get("GEMMA_TPU_COORDINATOR")
+             or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not coord:
+        return False
+    nproc = os.environ.get("GEMMA_TPU_NUM_PROCESSES",
+                           os.environ.get("JAX_NUM_PROCESSES"))
+    pid = os.environ.get("GEMMA_TPU_PROCESS_ID",
+                         os.environ.get("JAX_PROCESS_ID"))
+    kwargs = {"coordinator_address": coord}
+    if nproc is not None:
+        kwargs["num_processes"] = int(nproc)
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return True
 
 
 def device_count() -> int:
@@ -44,3 +82,17 @@ def make_mesh(n_devices: int | None = None, axis_names=("snp",),
     if int(np.prod(shape)) != n_devices:
         raise ValueError(f"mesh shape {shape} != {n_devices} devices")
     return Mesh(np.asarray(devs).reshape(shape), axis_names)
+
+
+def default_mesh() -> Mesh:
+    """The production drivers' mesh: all visible devices on the "snp"
+    axis (GEMMA_TPU_MAX_DEVICES caps it, mainly for 1-vs-N equality
+    tests).  A 1-device mesh degenerates to the single-chip program —
+    shard_map over one shard adds no collectives — so run_gk/run_lmm
+    use this unconditionally and the CLI path IS the multi-chip path.
+    """
+    n = len(jax.devices())
+    cap = os.environ.get("GEMMA_TPU_MAX_DEVICES")
+    if cap:
+        n = max(1, min(n, int(cap)))
+    return make_mesh(n, axis_names=("snp",))

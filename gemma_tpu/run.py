@@ -27,12 +27,35 @@ from gemma_tpu.models.lm import lm_block
 from gemma_tpu.ops.center import center_matrix
 from gemma_tpu.ops.eigh import eigh_zeroed, zero_eigenvalues
 from gemma_tpu.ops.kinship import KinshipAccumulator
+from gemma_tpu.parallel.mesh import default_mesh, distributed_init
 from gemma_tpu.utils.log import RunLog
 from gemma_tpu.utils.validate import validate_kinship
 
 
 def _resolve_dtype(cfg: GemmaConfig):
     return precision.resolve_dtype(cfg.precision)
+
+
+def _mesh_block_size(cfg: GemmaConfig, mesh) -> int:
+    """cfg.block_size rounded up to a multiple of the mesh size (each
+    device gets equal SNP shards)."""
+    return -(-cfg.block_size // mesh.size) * mesh.size
+
+
+def _raw_wire_block(ds: Dataset, sel, size: int) -> np.ndarray:
+    """Unimputed (size, ni_test) genotype block in wire format: int8
+    with -1 missing for integral backends (.bed — 8x less tunnel
+    traffic), float64 with NaN otherwise.  Padding rows are zeros
+    (their stats are trimmed by the caller).  Imputation happens on
+    device inside the sharded pipeline (parallel/shard.py)."""
+    if hasattr(ds.geno, "block_i8"):
+        raw = ds.geno.block_i8(sel)[:, ds.indicator_idv]
+        if raw.shape[0] < size:
+            raw = np.vstack([raw, np.zeros(
+                (size - raw.shape[0], raw.shape[1]), np.int8)])
+        return raw
+    raw = ds.geno.block(sel)[:, ds.indicator_idv]
+    return _pad_block(raw.astype(np.float64), size, 0.0)
 
 
 def _device_imputed(ds: Dataset, sel, size: int, dtype):
@@ -93,15 +116,31 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     scale = cfg.gk_mode == 2 or cfg.a_mode == 22
     mask = _kinship_snp_mask(ds)
 
+    # SNP-sharded accumulation over the device mesh: each device sums
+    # its shard's X'X, psum merges (gemma_io.cpp:1553-1561 reborn as
+    # mesh-wide fan-out; 1-device mesh = plain single-chip program)
+    mesh = default_mesh()
+    bs = _mesh_block_size(cfg, mesh)
+    use_i8 = hasattr(ds.geno, "block_i8")
     with log.timer.phase("kinship"):
-        acc = KinshipAccumulator(ds.ni_total, scale=scale, dtype=dtype)
-        for sel, raw in ds.geno.iter_blocks(cfg.block_size, mask):
-            block = _pad_block(raw, cfg.block_size, np.nan)
-            acc.update(block, n_valid=len(sel))
+        acc = KinshipAccumulator(ds.ni_total, scale=scale, dtype=dtype,
+                                 mesh=mesh)
+        idx = np.flatnonzero(mask)
+        for s in range(0, len(idx), bs):
+            sel = idx[s:s + bs]
+            if use_i8:
+                raw = ds.geno.block_i8(sel)
+                if raw.shape[0] < bs:
+                    raw = np.vstack([raw, np.full(
+                        (bs - raw.shape[0], raw.shape[1]), -1, np.int8)])
+            else:
+                raw = _pad_block(
+                    ds.geno.block(sel).astype(np.float64), bs, np.nan)
+            acc.update(raw, n_valid=len(sel))
         K = np.asarray(jax.device_get(acc.finalize()), dtype=np.float64)
 
     if cfg.check:
-        validate_kinship(K)
+        validate_kinship(K, strict=cfg.strict)
 
     ensure_outdir(cfg.path_out)
     suffix = "sXX" if scale else "cXX"
@@ -136,6 +175,12 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
         raise ValueError("LMM requires -k kinship or -u/-d eigen files")
     K = read_kinship(cfg.file_kin, ds.indicator_idv, ids=ds.ids,
                      k_mode=cfg.k_mode)
+    if cfg.check:
+        # the strtok_safe/NaN-poisoning culture: hard-fail on
+        # non-finite input before it contaminates the eigensolve
+        # (debug.cpp:242-354)
+        from gemma_tpu.utils.validate import check_finite
+        check_finite("kinship matrix (-k)", K)
     host_eigh = jax.default_backend() != "cpu"
     with log.timer.phase("eigen"):
         if host_eigh:
@@ -161,7 +206,8 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
                 Kc = jnp.asarray(Kc, dtype=dtype)
         if cfg.check:
             validate_kinship(np.asarray(jax.device_get(Kc))
-                             if not host_eigh else np.asarray(Kc))
+                             if not host_eigh else np.asarray(Kc),
+                             strict=cfg.strict)
         eval_, U, trace_G = eigh_zeroed(Kc, out_dtype=dtype)
         if ds.weights is not None:
             wd = jnp.asarray(ds.weights, dtype=dtype)
@@ -292,9 +338,16 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         from gemma_tpu.models.lmm.engine import assoc_gxe_block
         env = jnp.asarray(ds.gxe, dtype=dtype)
         Ut_env = U.T @ env
-        gxe_block = max(min(cfg.block_size, 256), 1)
+        bs = max(min(cfg.block_size, 256), 1)
+    else:
+        # SNP-sharded impute+rotate+assoc over the device mesh
+        # (lmm.cpp:1499-1658 batch loop as mesh-wide fan-out)
+        from gemma_tpu.parallel.shard import assoc_pipeline
+        mesh = default_mesh()
+        bs = _mesh_block_size(cfg, mesh)
+        assoc_fn = assoc_pipeline(mesh, n_cvt, mode, cfg.l_min,
+                                  cfg.l_max, cfg.n_region)
     with log.timer.phase("opt"):
-        bs = gxe_block if is_gxe else cfg.block_size
         for s in range(0, len(idx), bs):
             sel = idx[s:s + bs]
             k = len(sel)
@@ -319,11 +372,9 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
                         [flip, np.zeros(bs - k, bool)])),
                     -st.beta, st.beta))
             else:
-                Utx = _device_imputed(ds, sel, cfg.block_size, dtype) @ U
-                st = assoc_block(eval_, UtW, Uty, Utx, nf.l_mle,
-                                 nf.logl_mle, n_cvt=n_cvt, mode=mode,
-                                 l_min=cfg.l_min, l_max=cfg.l_max,
-                                 n_region=cfg.n_region)
+                raw = _raw_wire_block(ds, sel, bs)
+                st = assoc_fn(eval_, UtW, Uty, U, raw,
+                              nf.l_mle, nf.logl_mle)
             for name in stats:
                 stats[name].append(np.asarray(getattr(st, name))[:k])
     stats = {k: np.concatenate(v) if v else np.zeros(0)
@@ -535,7 +586,7 @@ def run_gs(cfg: GemmaConfig, log: RunLog | None = None):
     """-gs: S matrix (+ jackknife variance) from reference genotypes
     (gemma.cpp:1947-2001)."""
     import gzip
-    from gemma_tpu.models.mqs import calc_s
+    from gemma_tpu.models.mqs import calc_s_fetch
     from gemma_tpu.models.ci import read_wsnp, read_wcat, obtain_weight
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
@@ -552,9 +603,12 @@ def run_gs(cfg: GemmaConfig, log: RunLog | None = None):
         if rs2wsnp is not None:
             weights = np.array([wK.get(rs, 0.0) for rs in qc_rs])
 
-    X = ds.geno.block(idx)[:, ds.indicator_idv]
+    def fetch(lo, hi):
+        return ds.geno.block(idx[lo:hi])[:, ds.indicator_idv]
+
     with log.timer.phase("kinship"):
-        S, Svar, ns = calc_s(X, ds.W, cats, n_vc, weights=weights)
+        S, Svar, ns = calc_s_fetch(fetch, len(idx), ds.W, cats, n_vc,
+                                   weights=weights)
 
     ensure_outdir(cfg.path_out)
     write_matrix(f"{cfg.out_prefix()}.S.txt", np.vstack([S, Svar]))
@@ -651,8 +705,8 @@ def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
     the reference genotypes, then solve S pve = q; -vc 2 runs a second
     pass with LDSC weights built from the first-pass pve
     (gemma.cpp:2102-2230)."""
-    from gemma_tpu.models.mqs import (read_beta_summary, calcq, calc_s,
-                                      calc_vc_ss)
+    from gemma_tpu.models.mqs import (read_beta_summary, calcq,
+                                      calc_s_fetch, calc_vc_ss)
     from gemma_tpu.models.ci import (read_beta_rs_set, read_wsnp,
                                      read_wcat, obtain_weight,
                                      update_weight)
@@ -674,10 +728,13 @@ def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
     in_common = np.array([rs in wK for rs in qc_rs])
     cats_used = np.where(in_common, cats, -1)
     wK_arr = np.array([wK.get(rs, 0.0) for rs in qc_rs])
-    X = ds.geno.block(idx)[:, ds.indicator_idv]
+
+    def fetch(lo, hi):
+        return ds.geno.block(idx[lo:hi])[:, ds.indicator_idv]
+
     with log.timer.phase("kinship"):
-        S, Svar, ns = calc_s(X, ds.W, cats_used, n_vc,
-                             weights=wK_arr if rs2wsnp else None)
+        S, Svar, ns = calc_s_fetch(fetch, len(idx), ds.W, cats_used, n_vc,
+                                   weights=wK_arr if rs2wsnp else None)
 
     res = calc_vc_ss(Vq, S, Svar, q, s, float(beta.ni_total))
 
@@ -690,9 +747,10 @@ def run_vc_summary(cfg: GemmaConfig, log: RunLog | None = None):
                          beta.z2, n_vc)
         wA_arr = np.array([wA.get(rs, 0.0) for rs in qc_rs])
         with log.timer.phase("kinship"):
-            S, Svar, ns = calc_s(X, ds.W, cats_used, n_vc,
-                                 weights=wK_arr if rs2wsnp else None,
-                                 weights_a=wA_arr)
+            S, Svar, ns = calc_s_fetch(fetch, len(idx), ds.W, cats_used,
+                                       n_vc,
+                                       weights=wK_arr if rs2wsnp else None,
+                                       weights_a=wA_arr)
         res = calc_vc_ss(Vq, S, Svar, q, s, float(beta.ni_total))
 
     ensure_outdir(cfg.path_out)
@@ -729,7 +787,7 @@ def run_ci(cfg: GemmaConfig, log: RunLog | None = None):
     from gemma_tpu.models.ci import (
         read_ref, read_mref, read_wsnp, read_wcat, read_signed_beta,
         read_beta_rs_set, obtain_weight, update_weight, update_snp_z,
-        standardized_genotypes, xwz_passes, calc_ci_ss)
+        xwz_passes_fetch, calc_ci_ss)
 
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
@@ -773,12 +831,14 @@ def run_ci(cfg: GemmaConfig, log: RunLog | None = None):
         ds.geno.snps.rs, ds.geno.snps.a_minor, ds.qc.indicator_snp,
         wA, rs2a1, rs2z, rs2cat)
 
+    def fetch(lo, hi):
+        return ds.geno.block(keep_idx[lo:hi])[:, ds.indicator_idv]
+
     with log.timer.phase("kinship"):
-        Xs = standardized_genotypes(
-            ds.geno.block(keep_idx)[:, ds.indicator_idv])
         # mode 66 uses unit weights for XWz too (gemma.cpp:2497-2498)
-        Xz, XWz, XtXWz = xwz_passes(
-            Xs, np.ones_like(w) if cfg.a_mode == 66 else w, z, cat, n_vc)
+        Xz, XWz, XtXWz = xwz_passes_fetch(
+            fetch, len(keep_idx), ds.ni_test,
+            np.ones_like(w) if cfg.a_mode == 66 else w, z, cat, n_vc)
 
     res = calc_ci_ss(Xz, XWz, XtXWz, S, Svar, w, z, s_vec, cat,
                      np.asarray(cfg.v_pve))
@@ -845,7 +905,7 @@ def run_vc(cfg: GemmaConfig, log: RunLog | None = None):
     Kc = np.stack([np.asarray(center_matrix(jnp.asarray(Ki))) for Ki in K])
     v_traceG = np.array([np.mean(np.diag(Ki)) for Ki in Kc])
     if cfg.check and cfg.file_kin:
-        validate_kinship(Kc[0])
+        validate_kinship(Kc[0], strict=cfg.strict)
 
     y = ds.Y[:, 0]
     if cfg.a_mode == 61:
@@ -1134,7 +1194,8 @@ def run_bslmmdap_em(cfg: GemmaConfig, log: RunLog | None = None):
 
 def run_predict(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     from gemma_tpu.models.predict import (
-        read_est, predict_effects, add_breeding_values, probit_transform)
+        read_est, predict_effects_fetch, add_breeding_values,
+        probit_transform)
     from gemma_tpu.io.readers import read_gxe as _read_col
 
     log = log or RunLog(argv=["gemma-tpu"])
@@ -1171,8 +1232,9 @@ def run_predict(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
         else:
             est_cols = (2, 5, 6, 7) if not cfg.file_ebv else (2, 0, 6, 7)
         effects = read_est(cfg.file_epm, est_cols)
-        y_add, ns_used = predict_effects(ds.geno.X, list(ds.geno.snps.rs),
-                                         ds.indicator_idv, effects)
+        y_add, ns_used = predict_effects_fetch(
+            ds.geno.block, list(ds.geno.snps.rs), ds.indicator_idv,
+            effects)
         y_prdt += y_add
         log.summary["number of analyzed SNPs/var"] = ns_used
 
@@ -1268,7 +1330,7 @@ def run_predict43(cfg: GemmaConfig, log: RunLog | None = None):
 
 def run_calccor(cfg: GemmaConfig, log: RunLog | None = None):
     from gemma_tpu.models.varcov import (
-        calc_neighbours, windowed_correlations, write_cor)
+        calc_neighbours, windowed_correlations_fetch, write_cor)
 
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
@@ -1284,8 +1346,11 @@ def run_calccor(cfg: GemmaConfig, log: RunLog | None = None):
     n_nb = calc_neighbours(chr_, pos, cM, window_bp, cfg.window_cm,
                            cfg.window_ns)
 
-    X = ds.geno.block(idx)[:, ds.indicator_idv]
-    var, cors = windowed_correlations(X, n_nb)
+    def fetch(lo, hi):
+        return ds.geno.block(idx[lo:hi])[:, ds.indicator_idv]
+
+    var, cors = windowed_correlations_fetch(fetch, len(idx), ds.ni_test,
+                                            n_nb)
 
     rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
     for r, i in zip(rows, idx):
@@ -1306,6 +1371,14 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     """Mode dispatch (GEMMA::BatchRun, gemma.cpp:1641)."""
     from gemma_tpu.config import check_param
     check_param(cfg)
+    # multi-host pod entry point: no-op unless coordinator env vars
+    # are present (parallel/mesh.py; SURVEY §5.8)
+    distributed_init()
+    fpe_trap = cfg.debug and cfg.fpe_check
+    if fpe_trap:
+        # the feenableexcept/SIGFPE-trap analogue (debug.cpp:80-162):
+        # raise at the op that produced a NaN; -no-fpe-check disables
+        jax.config.update("jax_debug_nans", True)
     log = RunLog(argv=argv or ["gemma-tpu"], quiet=cfg.quiet)
     if cfg.trace_dir:
         # device-level profiling (the `make profile` analogue,
@@ -1315,8 +1388,12 @@ def batch_run(cfg: GemmaConfig, argv: list | None = None) -> None:
     else:
         import contextlib
         ctx = contextlib.nullcontext()
-    with ctx:
-        return _batch_run_inner(cfg, log)
+    try:
+        with ctx:
+            return _batch_run_inner(cfg, log)
+    finally:
+        if fpe_trap:
+            jax.config.update("jax_debug_nans", False)
 
 
 def _batch_run_inner(cfg: GemmaConfig, log: RunLog) -> None:

@@ -28,11 +28,60 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _e2e(a):
+    """Drive the PRODUCTION CLI (batch_run -gk / -lmm 1) at each device
+    count on a synthetic PLINK dataset — files, QC, eigen, writers and
+    the sharded device pipeline all included."""
+    import shutil
+    import tempfile
+
+    import jax
+    from synth_biobank import write_plink
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import batch_run
+
+    total_dev = len(jax.devices())
+    td = tempfile.mkdtemp(prefix="scaling_e2e_")
+    try:
+        prefix = os.path.join(td, "synth")
+        write_plink(prefix, a.n, a.p, h2=0.5, seed=0)
+        counts = [d for d in (1, 2, 4, 8, 16, 32, 64) if d <= total_dev]
+        base = None
+        for d in counts:
+            os.environ["GEMMA_TPU_MAX_DEVICES"] = str(d)
+            out = os.path.join(td, f"out{d}")
+            common = f"-bfile {prefix} -outdir {out} -no-check"
+            t0 = time.time()
+            batch_run(parse_args((common + " -gk -o K").split()))
+            t_gk = time.time() - t0
+            t0 = time.time()
+            batch_run(parse_args(
+                (common + f" -k {out}/K.cXX.txt -lmm 1 -o A").split()))
+            t_lmm = time.time() - t0
+            sps = a.p / t_lmm
+            if base is None:
+                base = sps
+            print(json.dumps({
+                "devices": d, "gk_sec": round(t_gk, 2),
+                "lmm_sec": round(t_lmm, 2),
+                "e2e_lmm_snps_per_sec": round(sps, 1),
+                "scaling_efficiency": round(sps / (base * d), 3),
+            }))
+    finally:
+        os.environ.pop("GEMMA_TPU_MAX_DEVICES", None)
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1940)
+    ap.add_argument("--p", type=int, default=20000,
+                    help="SNP count for --e2e")
     ap.add_argument("--snps-per-device", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--e2e", action="store_true",
+                    help="measure through batch_run on a synthetic "
+                         "PLINK dataset instead of the bare kernel")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="force an N-device virtual CPU mesh (the axon "
                          "TPU plugin ignores JAX_PLATFORMS, so this sets "
@@ -45,6 +94,9 @@ def main():
             f" --xla_force_host_platform_device_count={a.cpu}")
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if a.e2e:
+        _e2e(a)
+        return
     import jax
     import jax.numpy as jnp
     from gemma_tpu.parallel.mesh import make_mesh

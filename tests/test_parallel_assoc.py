@@ -52,3 +52,31 @@ def test_sharded_kinship_matches_single_device():
     fn = sharded_kinship_partial(mesh, scale=False)
     K = fn(jnp.zeros((n, n)), jnp.asarray(X))
     np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_kinship_2d_sharded_matches_single_device():
+    """2-D (snp x ind) layout: K row-sharded over "ind" so the
+    accumulator can exceed one chip's HBM; equality vs the plain
+    single-device product at a shape that forces partitioning."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gemma_tpu.parallel.shard import kinship_2d_pipeline
+
+    rng = np.random.default_rng(93)
+    n, S = 64, 32                     # n splits 4-ways, S splits 2-ways
+    X = rng.binomial(2, 0.3, size=(S, n)).astype(np.float64)
+    X[rng.random(X.shape) < 0.05] = np.nan
+    Xc = np.asarray(center_genotype_block(jnp.asarray(X), False))
+    K_ref = Xc.T @ Xc
+
+    mesh = make_mesh(8, axis_names=("snp", "ind"), shape=(2, 4))
+    fn = kinship_2d_pipeline(mesh, False)
+    K0 = jax.device_put(jnp.zeros((n, n)),
+                        NamedSharding(mesh, P("ind", None)))
+    K = fn(K0, jnp.asarray(X))
+    # accumulate a second block too (streaming contract)
+    K = fn(K, jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(K), 2 * K_ref, rtol=1e-10)
+    # the result stays row-sharded over "ind"
+    shard_shapes = {s.data.shape for s in K.addressable_shards}
+    assert shard_shapes == {(n // 4, n)}
