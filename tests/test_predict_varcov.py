@@ -137,14 +137,30 @@ def test_windowed_correlations_match_numpy():
             np.testing.assert_allclose(cors[i][j], want, rtol=1e-8)
 
 
+
+def _cli(args: str):
+    """Drive the real CLI in a subprocess.  The BSLMM MCMC program is
+    the largest XLA:CPU compile in the suite and this image's compiler
+    segfaults non-deterministically building it inside a long-lived
+    process with hundreds of prior compilations; a fresh process per
+    invocation sidesteps that and tests the true CLI surface."""
+    import os
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-m", "gemma_tpu"] + args.split(),
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ), timeout=900)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+
+
 def test_bslmm_predict_staged_workflow(tmp_path):
     """The reference's staged composition (SURVEY §5.4): -bslmm writes
     .param.txt, -predict consumes it via -epm and imputes the NA
     phenotypes; with strong causal SNPs the predictions correlate with
     the held-out truth (demo.txt workflow)."""
     import numpy as np
-    from gemma_tpu.cli import parse_args
-    from gemma_tpu.run import run_bslmm, run_predict
 
     rng = np.random.default_rng(71)
     n, p = 150, 60
@@ -167,15 +183,13 @@ def test_bslmm_predict_staged_workflow(tmp_path):
     out = str(tmp_path)
     common = (f"-g {geno} -p {tmp_path}/pheno.txt -outdir {out} "
               f"-notsnp -no-check -precision float64")
-    run_bslmm(parse_args(
-        (common + " -bslmm 1 -w 500 -s 1500 -seed 3 -o fit").split()))
+    _cli(common + " -bslmm 1 -w 500 -s 1500 -seed 3 -o fit")
     assert (tmp_path / "fit.param.txt").exists()
 
     # -emu consumes the previous run's log file (ReadFile_log)
     assert "estimated mean" in (tmp_path / "fit.log.txt").read_text()
-    run_predict(parse_args(
-        (common + f" -epm {out}/fit.param.txt -emu {out}/fit.log.txt "
-         f"-predict 1 -o pr").split()))
+    _cli(common + f" -epm {out}/fit.param.txt -emu {out}/fit.log.txt "
+         f"-predict 1 -o pr")
     lines = (tmp_path / "pr.prdt.txt").read_text().splitlines()
     assert len(lines) == n
     yhat = np.array([float(v) if v != "NA" else np.nan for v in lines])
@@ -191,8 +205,6 @@ def test_gblup_predict_with_breeding_values(tmp_path):
     kinship-propagated breeding values (AddBV, prdt.cpp:133-205) carry
     the polygenic signal to the held-out individuals."""
     import numpy as np
-    from gemma_tpu.cli import parse_args
-    from gemma_tpu.run import run_gk, run_bslmm, run_predict
 
     rng = np.random.default_rng(81)
     n, p = 160, 400
@@ -217,14 +229,12 @@ def test_gblup_predict_with_breeding_values(tmp_path):
     out = str(tmp_path)
     common = (f"-g {geno} -p {tmp_path}/pheno.txt -outdir {out} "
               f"-notsnp -no-check -precision float64")
-    run_gk(parse_args((common + " -gk -o K").split()))
-    run_bslmm(parse_args(
-        (common + f" -bslmm 2 -k {out}/K.cXX.txt -o gb").split()))
+    _cli(common + " -gk -o K")
+    _cli(common + f" -bslmm 2 -k {out}/K.cXX.txt -o gb")
     assert (tmp_path / "gb.bv.txt").exists()
 
-    run_predict(parse_args(
-        (common + f" -epm {out}/gb.param.txt -ebv {out}/gb.bv.txt "
-         f"-k {out}/K.cXX.txt -predict 1 -o pr").split()))
+    _cli(common + f" -epm {out}/gb.param.txt -ebv {out}/gb.bv.txt "
+         f"-k {out}/K.cXX.txt -predict 1 -o pr")
     lines = (tmp_path / "pr.prdt.txt").read_text().splitlines()
     yhat = np.array([float(v) if v != "NA" else np.nan for v in lines])
     assert np.all(np.isfinite(yhat[test]))
