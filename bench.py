@@ -4,21 +4,74 @@ North-star metric from BASELINE.json.  Reference point: GEMMA
 0.98.5-pre1 does mouse_hs1940 -lmm 1 in 8.38 s ≈ 1,285 SNPs/s
 end-to-end on an 8-core desktop (test/performance/releases.org:24-40).
 
-This measures the steady-state device pipeline on mouse-scale data
-(n=1940 analyzed individuals, 1 covariate): rotation U'X + batched
-REML lambda (grid scan + Brent + Newton) + Wald statistics, identical
-math to the -lmm 1 path validated by the BXD golden tests.
+Two measurements, both reported in the single JSON line:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * value (primary): steady-state device pipeline on mouse-scale data
+    (n=1940, 1 covariate) — rotation U'X + batched REML lambda (grid
+    scan + Brent + Newton) + Wald statistics, identical math to the
+    -lmm 1 path validated by the BXD golden tests.
+  * e2e_snps_per_sec: the FULL CLI (batch_run -lmm 1) on a synthetic
+    mouse_hs1940-scale BIMBAM text dataset (n=1940, p=12226, gz) —
+    file parse, QC, kinship read, eigendecomposition, association and
+    writers all included, mirroring releases.org's measurement
+    protocol.  e2e_gk_sec is the kinship build (parse + accumulate +
+    write) for the same dataset (reference: 5.29 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"e2e_snps_per_sec", "e2e_vs_baseline", "e2e_gk_sec"}.
 """
 
+import gzip
 import json
+import os
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 BASELINE_SNPS_PER_SEC = 1285.0
+
+
+def _synth_mouse(td: str, n=1940, p=12226, seed=0):
+    """mouse_hs1940-scale BIMBAM gz + pheno (3% missing dosages)."""
+    rng = np.random.default_rng(seed)
+    geno = os.path.join(td, "geno.txt.gz")
+    pheno = os.path.join(td, "pheno.txt")
+    block = 1024
+    with gzip.open(geno, "wt", compresslevel=1) as fh:
+        for s in range(0, p, block):
+            k = min(block, p - s)
+            maf = rng.uniform(0.05, 0.5, k)
+            X = rng.binomial(2, maf[:, None], size=(k, n)).astype(np.int8)
+            miss = rng.random((k, n)) < 0.03
+            for j in range(k):
+                vals = np.char.mod("%d", X[j]).astype(object)
+                vals[miss[j]] = "NA"
+                fh.write(f"rs{s + j}, A, T, " + ", ".join(vals) + "\n")
+    with open(pheno, "w") as fh:
+        fh.writelines(f"{v:.6f}\n" for v in rng.normal(size=n))
+    return geno, pheno
+
+
+def bench_e2e():
+    """Full-CLI wall times on the synthetic mouse-scale dataset."""
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import batch_run
+
+    with tempfile.TemporaryDirectory() as td:
+        geno, pheno = _synth_mouse(td)
+        common = f"-g {geno} -p {pheno} -outdir {td} -no-check"
+        t0 = time.time()
+        batch_run(parse_args((common + " -gk -o K").split()))
+        t_gk = time.time() - t0
+        t0 = time.time()
+        batch_run(parse_args(
+            (common + f" -k {td}/K.cXX.txt -lmm 1 -o A").split()))
+        t_lmm = time.time() - t0
+        with open(f"{td}/A.assoc.txt") as fh:
+            n_out = sum(1 for _ in fh) - 1
+    return t_gk, t_lmm, n_out
 
 
 def main():
@@ -72,11 +125,17 @@ def main():
     dt = time.time() - t0
 
     snps_per_sec = n_blocks * S / dt
+
+    t_gk, t_lmm, n_out = bench_e2e()
+    e2e_sps = n_out / t_lmm
     print(json.dumps({
         "metric": "univariate_lmm_wald_snps_per_sec_per_chip",
         "value": round(snps_per_sec, 1),
         "unit": "SNPs/s",
         "vs_baseline": round(snps_per_sec / BASELINE_SNPS_PER_SEC, 2),
+        "e2e_snps_per_sec": round(e2e_sps, 1),
+        "e2e_vs_baseline": round(e2e_sps / BASELINE_SNPS_PER_SEC, 2),
+        "e2e_gk_sec": round(t_gk, 2),
     }))
 
 
