@@ -6,17 +6,28 @@ negatives — before everything downstream (lapack.cpp
 `EigenDecomp_Zeroed`:260-291).  The returned trace is the mean of the
 *zeroed* eigenvalues.
 
-Backend policy: XLA's TPU eigensolver is iteration-bound and far off
-speed-of-light (measured ~90s at n=2048 on v5e vs ~1s for host LAPACK
-at n=1940), so on TPU backends the decomposition runs on the host in
-float64 — the same dsyevd-class solver the reference uses
-(lapack.cpp:205-222) — and only the factors move to the device, where
-all the matmul-heavy work happens.  On CPU backends `jnp.linalg.eigh`
-is LAPACK anyway.  For pod-scale n the distributed path lives in
+Backend policy (measured on the axon-tunneled v5e, scripts/probe_tpu.py):
+
+  * float32 (TPU speed mode): XLA's device eigensolver runs at
+    0.15 s (n=2048) / 0.72 s (n=4096), relative error ~1.5e-6 —
+    ~25x faster than single-core host LAPACK by n=10k — AND the
+    factors never cross the host↔device tunnel, whose device→host
+    direction measures only ~1-4 MB/s.  The decomposition therefore
+    stays on device and U feeds the rotation matmuls in place.
+  * float64 (reference-parity mode): TPUs emulate f64; the
+    decomposition runs on host LAPACK (the same dsyevd-class solver
+    the reference uses, lapack.cpp:205-222) and the factors move to
+    the device once.
+  * CPU backend: `jnp.linalg.eigh` is LAPACK anyway.
+
+For n beyond one chip's HBM (~25k at f32 with the solver's workspace)
+the sharded QDWH divide-and-conquer path lives in
 `gemma_tpu.parallel.eigh`.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -25,9 +36,24 @@ import jax.numpy as jnp
 
 EIGEN_MINVALUE = 1e-10
 
+# XLA's TPU eigh compile time explodes past ~6k (254 s at n=6144,
+# remote-compile OOM at n=10000); above this the spectral divide-and-
+# conquer path splits the problem into device-eigh-sized leaves with
+# matmul/QR-rich splits whose compiles stay cheap.
+_DEVICE_EIGH_MAX_N = 4608
 
-def _use_host_eigh() -> bool:
-    return jax.default_backend() not in ("cpu",)
+
+def _use_host_eigh(dtype) -> bool:
+    if jax.default_backend() in ("cpu",):
+        return False
+    return jnp.dtype(dtype) == jnp.float64
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype_name",))
+def _eigh_zeroed_device(G, out_dtype_name: str):
+    eval_, U = jnp.linalg.eigh(jnp.asarray(G, jnp.dtype(out_dtype_name)))
+    eval_ = jnp.where(eval_ < EIGEN_MINVALUE, 0.0, eval_)
+    return eval_, U, jnp.mean(eval_)
 
 
 def eigh_zeroed(G, out_dtype=None):
@@ -39,17 +65,19 @@ def eigh_zeroed(G, out_dtype=None):
     overrides the factor dtype (the host path may receive a float64
     numpy matrix while the device pipeline runs float32).
     """
-    if _use_host_eigh():
-        dtype = out_dtype or G.dtype
+    dtype = out_dtype or G.dtype
+    if _use_host_eigh(dtype):
         w, V = np.linalg.eigh(np.asarray(G, dtype=np.float64))
         eval_ = jnp.asarray(np.where(w < EIGEN_MINVALUE, 0.0, w), dtype)
         U = jnp.asarray(V, dtype)
         return eval_, U, jnp.mean(eval_)
-    eval_, U = jnp.linalg.eigh(jnp.asarray(G, dtype=out_dtype)
-                               if out_dtype is not None else G)
-    eval_ = jnp.where(eval_ < EIGEN_MINVALUE, 0.0, eval_)
-    trace_G = jnp.mean(eval_)
-    return eval_, U, trace_G
+    if (G.shape[0] > _DEVICE_EIGH_MAX_N
+            and jax.default_backend() not in ("cpu",)):
+        from gemma_tpu.parallel.eigh import eigh_dc
+        w, U = eigh_dc(jnp.asarray(G, jnp.dtype(dtype)), min_block=4096)
+        eval_ = jnp.where(w < EIGEN_MINVALUE, 0.0, w)
+        return eval_, U, jnp.mean(eval_)
+    return _eigh_zeroed_device(G, jnp.dtype(dtype).name)
 
 
 def zero_eigenvalues(eval_):

@@ -1,25 +1,34 @@
-"""Distributed symmetric eigendecomposition (pod-scale kinship).
+"""Device-resident spectral divide-and-conquer eigendecomposition.
 
-The reference calls LAPACK DSYEVR on one node (lapack.cpp:205-222);
-at biobank scale (n=100k) the kinship matrix no longer fits one chip,
-so this module provides a spectral divide-and-conquer eigensolver
-whose heavy operations — matmuls and QR — are exactly the primitives
-XLA shards well under GSPMD (Nakatsukasa & Higham 2013, QDWH-eig):
+The reference calls LAPACK DSYEVR on one node (lapack.cpp:205-222).
+On TPU, XLA's own eigensolver is fast at moderate sizes (0.72 s at
+n=4096 f32 on v5e, rel err ~1.5e-6) but its COMPILE time explodes
+past ~6k (254 s at n=6144; remote-compile OOM at n=10000), and
+jax.scipy.linalg.polar's QDWH runs out of HBM at n=10k.  This module
+therefore implements spectral divide-and-conquer whose only heavy
+primitives are matmuls (Nakatsukasa & Higham 2013 family):
 
   1. shift by a spectral-median estimate sigma,
-  2. polar decomposition of (A - sigma I) via `jax.scipy.linalg.polar`
-     (QDWH — a few matmul/QR-rich iterations),
-  3. P = (U_p + I)/2 is the exact projector onto the invariant
-     subspace with eigenvalues > sigma; split with randomized range
-     finding (QR of P @ Omega),
-  4. recurse on V' A V in each half until blocks fit a single chip,
-     where `jnp.linalg.eigh` finishes.
+  2. sign(A - sigma I) via scaled Newton-Schulz (pure matmuls, three
+     n^2 live buffers), P = (S + I)/2 is the projector onto the
+     invariant subspace with eigenvalues > sigma,
+  3. split with randomized range finding (QR of P @ Omega),
+  4. recurse on V' A V until blocks fit the device eigensolver.
 
-Host-side recursion, device-side math: every matmul/QR can carry
-`jax.sharding` annotations over the mesh; leaves run locally.
+Shape bucketing: split sizes are data-dependent, so every expensive
+kernel (Newton-Schulz sign, QR, leaf eigh) is evaluated on a
+zero/blockdiag-padded operand rounded up to a 512 multiple — the
+padding is EXACT (blockdiag decouples; zero-padded QR columns trail
+the true ones), and compile keys stay bounded and disk-cacheable
+instead of recompiling for every dataset's split ranks.
+
+Host-side recursion, device-side math; factors never cross the
+host<->device tunnel (measured ~1-4 MB/s device->host on axon).
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -27,35 +36,169 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_BUCKET = 512
+
+
+def _bucket(k: int) -> int:
+    return max(_BUCKET, -(-k // _BUCKET) * _BUCKET)
+
 
 def _leaf_eigh(A):
-    """Leaf solver: on TPU backends XLA's eigensolver is iteration-
-    bound and ~90x slower than LAPACK at these sizes, so leaves run on
-    the host (the splits above remain device matmul/QR work)."""
-    if jax.default_backend() not in ("cpu",):
-        w, V = np.linalg.eigh(np.asarray(A, dtype=np.float64))
-        return jnp.asarray(w, A.dtype), jnp.asarray(V, A.dtype)
-    return jnp.linalg.eigh(A)
+    """Leaf solver on a bucket-padded operand: embed the k×k block as
+    blockdiag(A, c_hi I) with markers strictly above the spectrum, run
+    the device eigensolver at the bucketed size, slice the true pairs
+    (ascending order puts the markers last; blockdiag decouples
+    exactly, so true eigenvectors live in the first k coordinates)."""
+    k = A.shape[0]
+    kb = _bucket(k)
+    if kb == k:
+        with jax.default_matmul_precision("float32"):
+            return jnp.linalg.eigh(A)
+    c_hi = 2.0 * jnp.max(jnp.sum(jnp.abs(A), axis=1)) + 1.0
+    Ap = jnp.zeros((kb, kb), A.dtype)
+    Ap = Ap.at[:k, :k].set(A)
+    Ap = Ap.at[jnp.arange(k, kb), jnp.arange(k, kb)].set(c_hi)
+    with jax.default_matmul_precision("float32"):
+        w, U = jnp.linalg.eigh(Ap)
+    return w[:k], U[:k, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _sign_ns_jit(M, max_iter: int = 80):
+    """Scaled Newton-Schulz S <- 1.5 S - 0.5 S^3 for the matrix sign
+    of symmetric M; three n^2 live buffers, pure MXU matmuls.
+
+    Full-f32 matmul precision is essential: TPU f32 matmuls default to
+    bf16 multiplies (~8 mantissa bits), which cannot resolve the
+    ~1e-5-relative eigenvalue gaps at the split point — measured
+    projector defect 0.15 at n=10k under the default vs 8e-6 at full
+    precision."""
+    m = M.shape[0]
+    norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(M), axis=1)),
+                       jnp.finfo(M.dtype).tiny)
+    # 1.01 safety margin keeps rho(S0) strictly below 1 so round-off
+    # drift cannot push iterates into the divergent |x| > sqrt(3) zone
+    S0 = M / (1.01 * norm)
+    eye = jnp.eye(m, dtype=M.dtype)
+    # convergence of the NORMALIZED Frobenius defect ||S^2-I||_F/sqrt(m)
+    # is size-independent; scaling the tolerance with m (a factor 10^4
+    # at n=10k f32) lets barely-converged projectors through and costs
+    # two digits of eigenvector accuracy
+    tol = 40 * jnp.finfo(M.dtype).eps
+
+    def cond(carry):
+        S, err, t = carry
+        return (t < max_iter) & (err > tol)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(carry):
+        S, _, t = carry
+        S2 = jnp.matmul(S, S, precision=hp)
+        S_new = 1.5 * S - 0.5 * jnp.matmul(S2, S, precision=hp)
+        err = jnp.linalg.norm(S2 - eye) / jnp.sqrt(jnp.asarray(m, M.dtype))
+        return S_new, err, t + 1
+
+    S, _, _ = jax.lax.while_loop(
+        cond, body, (S0, jnp.asarray(jnp.inf, M.dtype), 0))
+    return S
+
+
+def _sign_newton_schulz(M, max_iter: int = 80):
+    """Bucket-padded sign: embed k×k M as blockdiag(M, s I) (pads have
+    sign +1 and converge immediately); slice the true block."""
+    k = M.shape[0]
+    kb = _bucket(k)
+    if kb != k:
+        s = jnp.max(jnp.sum(jnp.abs(M), axis=1)) + 1.0
+        Mp = jnp.zeros((kb, kb), M.dtype)
+        Mp = Mp.at[:k, :k].set(M)
+        Mp = Mp.at[jnp.arange(k, kb), jnp.arange(k, kb)].set(s)
+        return _sign_ns_jit(Mp, max_iter=max_iter)[:k, :k]
+    return _sign_ns_jit(M, max_iter=max_iter)
 
 
 def _polar_projector(A, sigma):
     """P projecting onto the eigenspace of A with eigenvalues > sigma."""
     n = A.shape[0]
-    Up, _ = jax.scipy.linalg.polar(A - sigma * jnp.eye(n, dtype=A.dtype))
-    return 0.5 * (Up + jnp.eye(n, dtype=A.dtype))
+    S = _sign_newton_schulz(A - sigma * jnp.eye(n, dtype=A.dtype))
+    return 0.5 * (S + jnp.eye(n, dtype=A.dtype))
+
+
+@jax.jit
+def _qr_q(Y):
+    with jax.default_matmul_precision("float32"):
+        return jnp.linalg.qr(Y)[0]
+
+
+def _qr_bucketed(Y, k_cols: int):
+    """Q of the first k_cols columns, computed at a bucketed shape:
+    zero-padding trailing COLUMNS leaves the leading columns of Q
+    exact (Householder processes left to right); zero-padded ROWS map
+    to zero rows of Q."""
+    n, _ = Y.shape
+    cb = _bucket(k_cols)
+    nb = _bucket(n)
+    Yp = jnp.zeros((nb, min(cb, nb)), Y.dtype)
+    Yp = Yp.at[:n, :k_cols].set(Y[:, :k_cols])
+    Q = _qr_q(Yp)
+    return Q[:n, :k_cols]
 
 
 def _split_basis(Pproj, k, key):
     """Orthonormal bases (V1 (n,k), V2 (n,n-k)) of range(P) and its
-    complement via randomized range finding (exact for projectors)."""
+    complement via randomized range finding (exact for projectors).
+    The n×n products PG and G-PG keep compile shapes fixed per level;
+    only the bucketed QR sees the data-dependent rank."""
     n = Pproj.shape[0]
     G = jax.random.normal(key, (n, n), Pproj.dtype)
-    Y1 = Pproj @ G[:, :k] if k > 0 else jnp.zeros((n, 0), Pproj.dtype)
-    Y2 = (G[:, :n - k] - Pproj @ G[:, :n - k]) if n - k > 0 else \
-        jnp.zeros((n, 0), Pproj.dtype)
-    V1 = jnp.linalg.qr(Y1)[0] if k > 0 else Y1
-    V2 = jnp.linalg.qr(Y2)[0] if n - k > 0 else Y2
+    # full precision: V1 must span range(P) to f32 accuracy, and the
+    # defect check upstream relies on the same fidelity
+    PG = jnp.matmul(Pproj, G, precision=jax.lax.Precision.HIGHEST)
+    V1 = (_qr_bucketed(PG, k) if k > 0
+          else jnp.zeros((n, 0), Pproj.dtype))
+    V2 = (_qr_bucketed(G - PG, n - k) if n - k > 0
+          else jnp.zeros((n, 0), Pproj.dtype))
     return V1, V2
+
+
+@jax.jit
+def _project_jit(A, Vp):
+    hp = jax.lax.Precision.HIGHEST
+    B = jnp.matmul(A, Vp, precision=hp)
+    return jnp.matmul(Vp.T, B, precision=hp)
+
+
+def _project_bucketed(A, V):
+    """V' A V computed at fully bucketed shapes (both operands
+    zero-padded; the pads contribute exact zeros, sliced off)."""
+    n, k = V.shape
+    nb, kb = _bucket(n), _bucket(k)
+    if nb == n and kb == k:
+        return _project_jit(A, V)
+    Ap = jnp.zeros((nb, nb), A.dtype)
+    Ap = Ap.at[:n, :n].set(A)
+    Vp = jnp.zeros((nb, kb), V.dtype)
+    Vp = Vp.at[:n, :k].set(V)
+    return _project_jit(Ap, Vp)[:k, :k]
+
+
+@jax.jit
+def _assemble_jit(V, U):
+    return jnp.matmul(V, U, precision=jax.lax.Precision.HIGHEST)
+
+
+def _assemble_bucketed(V, U):
+    """(n,k)(k,k) product at fully bucketed shapes."""
+    n, k = V.shape
+    nb, kb = _bucket(n), _bucket(k)
+    if nb == n and kb == k:
+        return _assemble_jit(V, U)
+    Vp = jnp.zeros((nb, kb), V.dtype)
+    Vp = Vp.at[:n, :k].set(V)
+    Up = jnp.zeros((kb, kb), U.dtype)
+    Up = Up.at[:k, :k].set(U)
+    return _assemble_jit(Vp, Up)[:n, :k]
 
 
 def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0):
@@ -67,29 +210,68 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0):
     if n <= min_block or _depth > 40:
         return _leaf_eigh(A)
 
+    def _split_rank(Pproj):
+        """round(trace(P)) with quality checks.  A far-from-integer
+        trace OR a large idempotency defect ||P^2-P||_F means the sign
+        iteration stalled on eigenvalues at the split point (a pair of
+        stalled 0.5-directions keeps the trace integral but mixes the
+        subspaces, silently corrupting the split) — treat as a failed
+        split (None)."""
+        tr = float(jnp.trace(Pproj))
+        if not np.isfinite(tr):
+            return None
+        k = int(np.clip(round(tr), 0, n))
+        if abs(tr - k) > 0.45:
+            return None
+        defect = float(jnp.linalg.norm(
+            jnp.matmul(Pproj, Pproj,
+                       precision=jax.lax.Precision.HIGHEST) - Pproj))
+        if not np.isfinite(defect) or defect > 0.05:
+            return None
+        return k
+
     diag = jnp.diag(A)
-    sigma = jnp.median(diag)
-    Pproj = _polar_projector(A, sigma)
-    k = int(np.clip(int(jnp.round(jnp.trace(Pproj))), 0, n))
-    if k == 0 or k == n:
-        # median split failed (clustered spectrum) — try the midpoint
-        lo, hi = float(jnp.min(diag)), float(jnp.max(diag))
-        sigma = 0.5 * (lo + hi)
+    lo, hi = float(jnp.min(diag)), float(jnp.max(diag))
+    spread = max(hi - lo, 1e-30)
+    k = None
+    # median of the diagonal, then the midpoint, then random nudges —
+    # eigenvalue clusters sitting exactly at a candidate split point
+    # stall the sign iteration, so probe a few nearby shifts before
+    # giving up on splitting this block
+    candidates = [float(jnp.median(diag)), 0.5 * (lo + hi)]
+    rng_sigma = np.random.default_rng(_depth + 17)
+    candidates += list(
+        candidates[0] + spread * rng_sigma.uniform(-0.2, 0.2, 2))
+    import os
+    debug = os.environ.get("GEMMA_TPU_EIGH_DEBUG")
+    for sigma in candidates:
         Pproj = _polar_projector(A, sigma)
-        k = int(np.clip(int(jnp.round(jnp.trace(Pproj))), 0, n))
-        if k == 0 or k == n:
-            return _leaf_eigh(A)   # effectively degenerate block
+        k = _split_rank(Pproj)
+        if debug:
+            tr = float(jnp.trace(Pproj))
+            dft = float(jnp.linalg.norm(
+                jnp.matmul(Pproj, Pproj,
+                           precision=jax.lax.Precision.HIGHEST) - Pproj))
+            print(f"eigh_dc n={n} sigma={sigma:.4g} tr={tr:.3f} "
+                  f"defect={dft:.3e} -> k={k}", flush=True)
+        if k is not None and 0 < k < n:
+            break
+    else:
+        if debug:
+            print(f"eigh_dc n={n}: all splits failed -> leaf", flush=True)
+        return _leaf_eigh(A)   # effectively degenerate block
 
     key, k1, k2, k3 = jax.random.split(key, 4)
     V1, V2 = _split_basis(Pproj, k, k1)
-    A1 = V1.T @ A @ V1
-    A2 = V2.T @ A @ V2
+    A1 = _project_bucketed(A, V1)
+    A2 = _project_bucketed(A, V2)
 
     w1, U1 = eigh_dc(A1, min_block, k2, _depth + 1)
     w2, U2 = eigh_dc(A2, min_block, k3, _depth + 1)
 
     w = jnp.concatenate([w2, w1])            # w2 below sigma, w1 above
-    U = jnp.concatenate([V2 @ U2, V1 @ U1], axis=1)
+    U = jnp.concatenate(
+        [_assemble_bucketed(V2, U2), _assemble_bucketed(V1, U1)], axis=1)
     order = jnp.argsort(w)
     return w[order], U[:, order]
 
@@ -97,7 +279,7 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0):
 def eigh_sharded(A, mesh: Mesh, min_block: int = 2048):
     """eigh_dc with the matrix laid out over a 1-D mesh (row-sharded).
 
-    All matmul/polar/QR steps consume and produce row-sharded
+    All matmul/sign/QR steps consume and produce row-sharded
     operands; GSPMD inserts the collectives.  Leaves gather to a
     single device for the local eigh.
     """

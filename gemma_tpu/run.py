@@ -181,12 +181,13 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
         # (debug.cpp:242-354)
         from gemma_tpu.utils.validate import check_finite
         check_finite("kinship matrix (-k)", K)
-    host_eigh = jax.default_backend() != "cpu"
+    from gemma_tpu.ops.eigh import _use_host_eigh
+    host_eigh = _use_host_eigh(dtype)
     with log.timer.phase("eigen"):
         if host_eigh:
-            # the decomposition runs on host LAPACK (see ops/eigh.py),
-            # so center there too — avoids shuttling the n×n matrix
-            # through the host↔device link three times
+            # f64 parity on TPU: the decomposition runs on host LAPACK
+            # (see ops/eigh.py), so center there too — avoids shuttling
+            # the n×n matrix through the host↔device link three times
             n = K.shape[0]
             rs = K.sum(axis=1)
             Kc = K - rs[:, None] / n - rs[None, :] / n + rs.sum() / (n * n)
@@ -204,11 +205,17 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
                           0.0)
             if not host_eigh:
                 Kc = jnp.asarray(Kc, dtype=dtype)
-        if cfg.check:
-            validate_kinship(np.asarray(jax.device_get(Kc))
-                             if not host_eigh else np.asarray(Kc),
-                             strict=cfg.strict)
+        if cfg.check and host_eigh:
+            validate_kinship(np.asarray(Kc), strict=cfg.strict)
+        max_asym = (float(jnp.max(jnp.abs(Kc - Kc.T)))
+                    if cfg.check and not host_eigh else None)
         eval_, U, trace_G = eigh_zeroed(Kc, out_dtype=dtype)
+        if cfg.check and not host_eigh:
+            # validate from the device factors: eigenvalue scan on the
+            # (n,) vector + an on-device asymmetry reduction, instead
+            # of reading the n×n matrix back through the tunnel
+            validate_kinship(None, eigenvalues=np.asarray(eval_),
+                             strict=cfg.strict, max_asym=max_asym)
         if ds.weights is not None:
             wd = jnp.asarray(ds.weights, dtype=dtype)
             swd = jnp.where(wd > 0, jnp.sqrt(jnp.maximum(wd, 0.0)), 0.0)

@@ -22,13 +22,24 @@ def check_finite(name: str, arr) -> None:
         raise FloatingPointError(f"{name} contains NaN/Inf values")
 
 
-def validate_kinship(K: np.ndarray, eigenvalues: np.ndarray | None = None,
-                     strict: bool = False) -> list:
+def validate_kinship(K: np.ndarray | None,
+                     eigenvalues: np.ndarray | None = None,
+                     strict: bool = False,
+                     max_asym: float | None = None) -> list:
     """Mirror validate_K (debug.cpp:358-381): symmetry, near-zero /
-    negative eigenvalues, condition number.  Returns warning strings."""
+    negative eigenvalues, condition number.  Returns warning strings.
+
+    For the device-resident pipeline pass K=None with precomputed
+    `eigenvalues` and `max_asym` (scalar device reductions) — reading
+    the full n×n matrix back over the axon tunnel costs minutes at
+    large n (device→host measures ~4 MB/s)."""
     msgs = []
-    K = np.asarray(K)
-    if not np.allclose(K, K.T, rtol=0, atol=1e-8 * max(1.0, np.abs(K).max())):
+    if K is not None:
+        K = np.asarray(K)
+        if not np.allclose(K, K.T, rtol=0,
+                           atol=1e-8 * max(1.0, np.abs(K).max())):
+            msgs.append("K is not symmetric")
+    elif max_asym is not None and max_asym > 1e-6:
         msgs.append("K is not symmetric")
     if eigenvalues is None:
         eigenvalues = np.linalg.eigvalsh(K)
