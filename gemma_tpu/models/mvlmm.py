@@ -62,7 +62,7 @@ def mph_initial(eval_, X, Y, l_min=1e-5, l_max=1e5, n_region=10,
                 Vg_s = jnp.diag(jnp.asarray([Vg[i, i], Vg[j, j]]))
                 Ve_s = jnp.diag(jnp.asarray([Ve[i, i], Ve[j, j]]))
                 B_s = jnp.zeros((2, c), Y.dtype)
-                Vg_s, Ve_s, B_s, _ = core.mph_em(
+                Vg_s, Ve_s, B_s, _, _ = core.mph_em(
                     True, em_iter, em_prec, eval_, X, Ys, Vg_s, Ve_s, B_s)
                 Vg_s, Ve_s, _, _ = core.mph_nr(
                     True, nr_iter, nr_prec, eval_, X, Ys, Vg_s, Ve_s)
@@ -89,10 +89,91 @@ def _assoc_em_block(eval_, X0, Y, x_block, Vg_null, Ve_null, B_null,
     Vg0 = jnp.broadcast_to(Vg_null, (S, d, d))
     Ve0 = jnp.broadcast_to(Ve_null, (S, d, d))
     B0 = jnp.broadcast_to(B_null, (S, d, c + 1))
-    Vg, Ve, B, logl = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
+    Vg, Ve, B, logl, _ = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
                                   Vg0, Ve0, B0)
     stat, beta, Vbeta = core.mph_calc_p(eval_, x_block, X0, Y, Vg, Ve)
     return logl, stat, beta, Vbeta
+
+
+@functools.partial(jax.jit, static_argnames=("em_iter", "em_prec"))
+def _em_burst_reml(eval_, X0, Y, x_block, Vg0, Ve0, iter_cap,
+                   em_iter: int, em_prec: float):
+    """One bounded REML EM burst for (possibly compacted) lanes.
+    REML EM depends only on (Vg, Ve) — restarting from the current
+    iterate is trajectory-exact — so bursts compose losslessly."""
+    S = x_block.shape[0]
+    d = Y.shape[0]
+    c = X0.shape[0]
+    X_alt = jnp.concatenate(
+        [jnp.broadcast_to(X0, (S, c, X0.shape[1])), x_block[:, None, :]],
+        axis=1)
+    B0 = jnp.zeros((S, d, c + 1), Y.dtype)
+    Vg, Ve, _, logl, done = core.mph_em(True, em_iter, em_prec, eval_,
+                                        X_alt, Y, Vg0, Ve0, B0,
+                                        iter_cap=iter_cap)
+    return Vg, Ve, logl, done
+
+
+@jax.jit
+def _calc_p_block(eval_, X0, Y, x_block, Vg, Ve):
+    return core.mph_calc_p(eval_, x_block, X0, Y, Vg, Ve)
+
+
+def _em_staged_reml(eval_, X0, Y, x_block, Vg_null, Ve_null,
+                    em_iter: int, em_prec: float):
+    """REML per-SNP EM with straggler compaction (the lockstep
+    while_loop otherwise runs the WHOLE block for the maximum
+    iteration count of its slowest lane — measured heavy tail on
+    issue243: ~2/3 of lanes converge in <100 iterations, a handful
+    run to 1000, costing ~10x the useful work).  Runs geometric
+    bursts, retires converged lanes between bursts, and finishes the
+    shrinking straggler set at bucketed sizes.  Returns (logl, stat, beta,
+    Vbeta) like _assoc_em_block."""
+    S = x_block.shape[0]
+    d = Y.shape[0]
+    dtype = x_block.dtype
+
+    Vg_out = np.zeros((S, d, d), np.float64)
+    Ve_out = np.zeros((S, d, d), np.float64)
+    logl_out = np.zeros(S, np.float64)
+
+    active = np.arange(S)
+    Vg_act = jnp.broadcast_to(jnp.asarray(Vg_null, dtype), (S, d, d))
+    Ve_act = jnp.broadcast_to(jnp.asarray(Ve_null, dtype), (S, d, d))
+    x_act = x_block
+    burst = 32
+    spent = 0
+    while len(active) and spent < em_iter:
+        it = min(burst, em_iter - spent)
+        Vg_act, Ve_act, logl, done = _em_burst_reml(
+            eval_, X0, Y, x_act, Vg_act, Ve_act, jnp.int32(it),
+            em_iter, em_prec)
+        spent += it
+        burst = min(burst * 2, 512)
+        k = len(active)
+        done_h = np.array(done[:k])
+        if spent >= em_iter:
+            done_h[:] = True
+        fin = np.flatnonzero(done_h)
+        if len(fin):
+            rows = active[fin]
+            Vg_out[rows] = np.asarray(Vg_act)[fin]
+            Ve_out[rows] = np.asarray(Ve_act)[fin]
+            logl_out[rows] = np.asarray(logl)[fin]
+        still = np.flatnonzero(~done_h)
+        active = active[still]
+        if not len(active):
+            break
+        size = _bucket(len(active))
+        sel = jnp.asarray(np.resize(still, size))
+        x_act = jnp.take(x_act, sel, axis=0)
+        Vg_act = jnp.take(Vg_act, sel, axis=0)
+        Ve_act = jnp.take(Ve_act, sel, axis=0)
+
+    Vg_f = jnp.asarray(Vg_out, dtype)
+    Ve_f = jnp.asarray(Ve_out, dtype)
+    stat, beta, Vbeta = _calc_p_block(eval_, X0, Y, x_block, Vg_f, Ve_f)
+    return jnp.asarray(logl_out, dtype), stat, beta, Vbeta
 
 
 @functools.partial(jax.jit,
@@ -127,7 +208,7 @@ def _em_then_nr_block(eval_, X0, Y, x_block, Vg_null, Ve_null, B_null,
     Vg0 = jnp.broadcast_to(Vg_null, (S, d, d))
     Ve0 = jnp.broadcast_to(Ve_null, (S, d, d))
     B0 = jnp.broadcast_to(B_null, (S, d, c + 1))
-    Vg, Ve, _, _ = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
+    Vg, Ve, _, _, _ = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
                                Vg0, Ve0, B0)
     Vg2, Ve2, logl, Hvar = core.mph_nr(reml, nr_iter, nr_prec, eval_,
                                        X_alt, Y, Vg, Ve)
@@ -165,7 +246,7 @@ class MvlmmNull:
             eval_, X0, Y, l_min=cfg.l_min, l_max=cfg.l_max,
             n_region=cfg.n_region, em_iter=cfg.em_iter,
             em_prec=cfg.em_prec, nr_iter=cfg.nr_iter, nr_prec=cfg.nr_prec)
-        Vg, Ve, B, _ = core.mph_em(True, cfg.em_iter, cfg.em_prec,
+        Vg, Ve, B, _, _ = core.mph_em(True, cfg.em_iter, cfg.em_prec,
                                    eval_, X0, Y, Vg, Ve, B)
         Vg, Ve, logl_r, Hvar = core.mph_nr(True, cfg.nr_iter, cfg.nr_prec,
                                            eval_, X0, Y, Vg, Ve)
@@ -177,7 +258,7 @@ class MvlmmNull:
         self.VVg_remle = np.diag(np.asarray(Hvar))[:v_size]
         self.VVe_remle = np.diag(np.asarray(Hvar))[v_size:]
 
-        Vg2, Ve2, B2, _ = core.mph_em(False, cfg.em_iter, cfg.em_prec,
+        Vg2, Ve2, B2, _, _ = core.mph_em(False, cfg.em_iter, cfg.em_prec,
                                       eval_, X0, Y, Vg, Ve, B_r)
         Vg2, Ve2, logl_m, _ = core.mph_nr(False, cfg.nr_iter, cfg.nr_prec,
                                           eval_, X0, Y, Vg2, Ve2)
@@ -275,9 +356,11 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
             Vbeta[idx] = Vb2
 
     if mode in (1, 4):
-        logl, stat, b, Vb = _assoc_em_block(
+        # staged REML EM with straggler compaction (identical
+        # trajectory to the single-shot loop; see _em_staged_reml)
+        logl, stat, b, Vb = _em_staged_reml(
             eval_, X0, Y, x_block, null.Vg_start, null.Ve_start,
-            null.B_start, reml=True, em_iter=em_iter, em_prec=em_prec)
+            em_iter=em_iter, em_prec=em_prec)
         p_wald = np.array(chisq_sf(stat, float(d)))
         beta, Vbeta = np.array(b), np.array(Vb)
         idx = np.flatnonzero(p_wald < cfg.p_nr)
@@ -318,7 +401,7 @@ def _gxe_h0_refit_block(eval_, X0e, Y, x_block, Vg0, Ve0, B0,
     S = x_block.shape[0]
     d = Y.shape[0]
     X_h0 = _gxe_x_alt(X0e, x_block)
-    Vg, Ve, B, _ = core.mph_em(
+    Vg, Ve, B, _, _ = core.mph_em(
         reml, em_iter, em_prec, eval_, X_h0, Y,
         jnp.broadcast_to(Vg0, (S, d, d)), jnp.broadcast_to(Ve0, (S, d, d)),
         jnp.broadcast_to(B0, (S,) + B0.shape))
@@ -333,7 +416,7 @@ def _gxe_h1_em_block(eval_, X0e, Y, x_block, xe_block, Vg0, Ve0, B0,
                      reml: bool, em_iter: int, em_prec: float):
     """H1 EM over [W, env, x, x∘env]; test on the interaction row."""
     X_alt = _gxe_x_alt(X0e, x_block, xe_block)
-    Vg, Ve, B, logl = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
+    Vg, Ve, B, logl, _ = core.mph_em(reml, em_iter, em_prec, eval_, X_alt, Y,
                                   Vg0, Ve0, B0)
     W_snp = X_alt[:, :-1, :]
     stat, beta, Vbeta = core.mph_calc_p(eval_, xe_block, W_snp, Y, Vg, Ve)

@@ -187,13 +187,15 @@ class EmState(NamedTuple):
 @functools.partial(jax.jit,
                    static_argnames=("reml", "max_iter", "prec"))
 def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
-           Vg0, Ve0, B0):
+           Vg0, Ve0, B0, iter_cap=None):
     """Batched PX-EM for (Vg, Ve, B) (MphEM, mvlmm.cpp:599-724).
 
     eval_: (n,); X: (..., c, n); Y: (d, n); Vg0/Ve0: (..., d, d);
     B0: (..., d, c).  Leading batch axes optimise in lockstep with
     per-lane convergence freezing (|Δlogl| < prec, checked from t=1).
-    Returns (Vg, Ve, B, logl).
+    Returns (Vg, Ve, B, logl, done) — `done` marks lanes that actually
+    converged (or went non-finite), letting callers compact and
+    continue the stragglers (mvlmm._em_staged_reml).
     """
     n = eval_.shape[0]
     d = Y.shape[0]
@@ -220,7 +222,13 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
         if reml:
             logl = logl - 0.5 * (logdet_Q - c * logdet_Ve)
 
-        conv = (s.t > 0) & (jnp.abs(logl - s.logl_prev) < prec)
+        # non-finite lanes (f32 overflow, degenerate SNPs — GEMMA's
+        # NaN-poisoning culture keeps the NaN in the output) must
+        # freeze too: a single NaN lane would otherwise force the
+        # whole lockstep block to max_iter (measured: the 2048-block
+        # EM burned 1000 iterations at ~3.1 ms each on stragglers)
+        conv = (s.t > 0) & ((jnp.abs(logl - s.logl_prev) < prec)
+                            | ~jnp.isfinite(logl))
         done_new = s.done | conv
 
         # --- M step (skipped for frozen lanes) ---
@@ -299,8 +307,12 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
                        logl=logl_out, logl_prev=logl_prev, done=done_new,
                        t=s.t + 1)
 
+    # iter_cap (runtime scalar) lets burst drivers bound iterations
+    # without a fresh compile per burst length
+    cap = max_iter if iter_cap is None else jnp.minimum(iter_cap, max_iter)
+
     def cond(s: EmState):
-        return (s.t < max_iter) & ~jnp.all(s.done)
+        return (s.t < cap) & ~jnp.all(s.done)
 
     zero = jnp.zeros(batch, Y.dtype)
     state = EmState(Vg=Vg0, Ve=Ve0, B=B0,
@@ -308,7 +320,7 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
                     logl=zero, logl_prev=zero,
                     done=jnp.zeros(batch, bool), t=jnp.zeros((), jnp.int32))
     out = jax.lax.while_loop(cond, body, state)
-    return out.Vg, out.Ve, out.B, out.logl
+    return out.Vg, out.Ve, out.B, out.logl, out.done
 
 
 # ---------------------------------------------------------------------------
@@ -422,10 +434,11 @@ def mph_nr(reml: bool, max_iter: int, prec: float, eval_, X, Y, Vg0, Ve0):
         v_new, logl_new, pd_new, accepted = jax.lax.fori_loop(
             0, 10, halve, init)
 
-        # termination rules (mvlmm.cpp:2724-2734)
+        # termination rules (mvlmm.cpp:2724-2734); non-finite lanes
+        # freeze immediately (see mph_em straggler note)
         revert = ~first & ((logl_new < s.logl) | ~pd_new)
         small = ~first & (logl_new - s.logl < prec)
-        done_new = s.done | revert | small
+        done_new = s.done | revert | small | ~jnp.isfinite(logl_new)
 
         v_next = jnp.where(revert[..., None], v_save, v_new)
         logl_next = jnp.where(revert, s.logl, logl_new)

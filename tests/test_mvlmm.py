@@ -92,7 +92,7 @@ def test_em_increases_and_nr_converges():
     Ve0 = jnp.eye(d) * 1.0
     B0 = jnp.zeros((d, 1))
 
-    Vg1, Ve1, B1, logl1 = core.mph_em(True, 200, 1e-6, jnp.asarray(eval_),
+    Vg1, Ve1, B1, logl1, _ = core.mph_em(True, 200, 1e-6, jnp.asarray(eval_),
                                       jnp.asarray(X), jnp.asarray(Y),
                                       Vg0, Ve0, B0)
     fn = core._nr_logl_fn(True, jnp.asarray(eval_), jnp.asarray(X),
@@ -124,11 +124,11 @@ def test_em_batched_matches_single():
     Vg0 = jnp.broadcast_to(jnp.eye(d), (3, d, d))
     Ve0 = jnp.broadcast_to(jnp.eye(d), (3, d, d))
     B0 = jnp.zeros((3, d, 2))
-    Vg_b, Ve_b, B_b, logl_b = core.mph_em(
+    Vg_b, Ve_b, B_b, logl_b, _ = core.mph_em(
         True, 100, 1e-6, jnp.asarray(eval_), X_alt, jnp.asarray(Y),
         Vg0, Ve0, B0)
     for s in range(3):
-        Vg_s, Ve_s, B_s, logl_s = core.mph_em(
+        Vg_s, Ve_s, B_s, logl_s, _ = core.mph_em(
             True, 100, 1e-6, jnp.asarray(eval_), X_alt[s], jnp.asarray(Y),
             jnp.eye(d), jnp.eye(d), jnp.zeros((d, 2)))
         np.testing.assert_allclose(np.asarray(logl_b)[s], float(logl_s),
