@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg
 import numpy as np
 
 from gemma_tpu.models.lmm.indices import pab_indices
@@ -265,6 +266,81 @@ def logf(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
         return c - 0.5 * logdet_h - 0.5 * n * jnp.log(p_yy)
 
 
+def logf_stable(lam, data: LmmBatchData, n_cvt: int, calc_null: bool,
+                reml: bool):
+    """logf via an explicit weighted-GLS residual — float32-stable.
+
+    The Pab recurrence computes p_yy = y'P(λ)y by subtracting nested
+    projection quadratics; at extreme λ the subtrahends agree to ~7
+    digits and float32 loses the value entirely (measured on BXD: ML
+    logf(λ=1e5) came out −42.2 where the true value is −55.3, so the
+    boundary comparison picked l_max and every p_lrt saturated at 1 —
+    the f64 run correctly picks l_min).  Here the minimised quadratic
+    is assembled as Σ hᵢ rᵢ² with r the per-component GLS residual:
+    sums of non-negative terms, no catastrophic cancellation, at the
+    cost of one (S, n) residual temporary per evaluation.  Float64
+    parity mode keeps the exact GSL/Pab evaluation path.
+    """
+    n = data.eval.shape[0]
+    W = data.UtWy[:, :n_cvt]                       # (n, c)
+    y = data.UtWy[:, n_cvt]                        # (n,)
+    v, hi = _weights(lam, data.eval)               # (..., S, n)
+    logdet_h = jnp.sum(jnp.log(jnp.abs(v)), axis=-1)
+
+    # weighted Gram blocks, built without materialising (S, n, c)
+    Gww = jnp.einsum("...kn,ni,nj->...kij", hi, W, W)
+    gwy = jnp.einsum("...kn,ni,n->...ki", hi, W, y)
+    if calc_null:
+        G = Gww
+        rhs = gwy
+    else:
+        x = data.Utx                               # (S, n)
+        Gwx = jnp.einsum("...kn,ni,kn->...ki", hi, W, x)
+        Gxx = jnp.einsum("...kn,kn,kn->...k", hi, x, x)
+        gxy = jnp.einsum("...kn,kn,n->...k", hi, x, y)
+        top = jnp.concatenate([Gww, Gwx[..., :, None]], axis=-1)
+        bot = jnp.concatenate([Gwx[..., None, :], Gxx[..., None, None]],
+                              axis=-1)
+        G = jnp.concatenate([top, bot], axis=-2)   # (..., S, c+1, c+1)
+        rhs = jnp.concatenate([gwy, gxy[..., None]], axis=-1)
+
+    L = jnp.linalg.cholesky(G)
+    beta = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+    t = y - jnp.einsum("ni,...ki->...kn", W, beta[..., :n_cvt])
+    if not calc_null:
+        t = t - data.Utx * beta[..., n_cvt:n_cvt + 1]
+    p_yy = jnp.einsum("...kn,...kn->...k", hi, t * t)
+    p_yy = jnp.where((p_yy >= 0.0) & (p_yy < P_YY_MIN), P_YY_MIN, p_yy)
+
+    nc_total = _nc_total(n_cvt, calc_null)
+    if reml:
+        df = float(n - n_cvt) if calc_null else float(n - n_cvt - 1)
+        ld = jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1)))
+        logdet_hiw = 2.0 * jnp.sum(ld, axis=-1)
+        # λ-independent |A'A| piece (identity weights)
+        A0ww = W.T @ W
+        if calc_null:
+            G0 = jnp.broadcast_to(A0ww, G.shape[:-2] + A0ww.shape)
+        else:
+            x = data.Utx
+            g0wx = jnp.einsum("ni,kn->ki", W, x)
+            g0xx = jnp.einsum("kn,kn->k", x, x)
+            top0 = jnp.concatenate(
+                [jnp.broadcast_to(A0ww, x.shape[:1] + A0ww.shape),
+                 g0wx[..., :, None]], axis=-1)
+            bot0 = jnp.concatenate(
+                [g0wx[..., None, :], g0xx[..., None, None]], axis=-1)
+            G0 = jnp.concatenate([top0, bot0], axis=-2)
+        L0 = jnp.linalg.cholesky(G0)
+        ld0 = jnp.log(jnp.abs(jnp.diagonal(L0, axis1=-2, axis2=-1)))
+        logdet_hiw = logdet_hiw - 2.0 * jnp.sum(ld0, axis=-1)
+        c = float(0.5 * df * (np.log(df) - _LOG_2PI - 1.0))
+        return (c - 0.5 * logdet_h - 0.5 * logdet_hiw
+                - 0.5 * df * jnp.log(p_yy))
+    c = float(0.5 * n * (np.log(float(n)) - _LOG_2PI - 1.0))
+    return c - 0.5 * logdet_h - 0.5 * n * jnp.log(p_yy)
+
+
 def dev1(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
     """First derivative of the log (restricted) likelihood w.r.t. lambda."""
     idx = pab_indices(n_cvt)
@@ -363,7 +439,13 @@ def wald_stats(lam, data: LmmBatchData, n_cvt: int):
     beta = p_xy / p_xx
     tau = df / px_yy
     se = jnp.sqrt(1.0 / (tau * p_xx))
-    f_stat = (p_yy - px_yy) * tau
+    # identically (p_yy - px_yy) * tau (CalcRLWald, lmm.cpp:1125-1157:
+    # the recurrence defines px_yy = p_yy - p_xy²/p_xx), but free of
+    # the catastrophic cancellation: for near-null SNPs p_yy and px_yy
+    # agree to ~7 digits and the float32 difference came out negative,
+    # saturating p_wald at 1.0 (measured 2.8e-3 absolute p error —
+    # outside the speed-mode contract; tests/test_f32_parity_dc.py)
+    f_stat = (p_xy * p_xy / p_xx) * tau
     return beta, se, f_stat, df
 
 

@@ -263,8 +263,16 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
     def f_dev12(lam):
         return lk.dev12(lam, data, n_cvt, calc_null, reml)
 
-    def f_logf(lam):
-        return lk.logf(lam, data, n_cvt, calc_null, reml)
+    if strict:
+        def f_logf(lam):
+            return lk.logf(lam, data, n_cvt, calc_null, reml)
+    else:
+        # float32: the Pab p_yy suffers catastrophic cancellation at
+        # extreme lambda (measured +13-nat logf inflation at l_max on
+        # BXD, flipping the boundary selection); the residual-form
+        # evaluation is cancellation-free (lk.logf_stable)
+        def f_logf(lam):
+            return lk.logf_stable(lam, data, n_cvt, calc_null, reml)
 
     # 1. grid scan of dev1 signs (lmm.cpp:1967-1982)
     step = np.log(l_max / l_min) / n_region

@@ -23,12 +23,23 @@ def f_sf(x, d1, d2):
 
     Q(x) = I_{d2/(d2 + d1 x)}(d2/2, d1/2)  via the regularized
     incomplete beta function.  Matches `gsl_cdf_fdist_Q`.
-    """
+
+    Tail handling: jax's float32 betainc saturates to 1 when its z
+    argument approaches 1 (measured: betainc(383, 0.5, 1-1.6e-8) = 1.0
+    exactly where the true value is 0.99721 — a 2.8e-3 absolute
+    p-value error, outside the 1e-3 speed-mode contract).  The
+    symmetry I_z(a,b) = 1 − I_{1−z}(b,a) moves the computation to the
+    small-argument side, which IS computed accurately, so each lane
+    uses whichever incomplete-beta argument is smaller (the standard
+    continued-fraction convention)."""
     x = jnp.asarray(x)
     d1 = jnp.asarray(d1, dtype=x.dtype)
     d2 = jnp.asarray(d2, dtype=x.dtype)
-    xt = d2 / (d2 + d1 * x)
-    q = betainc(d2 / 2.0, d1 / 2.0, xt)
+    xt = d2 / (d2 + d1 * x)            # direct argument (→1 as x→0)
+    wt = d1 * x / (d2 + d1 * x)        # complementary argument
+    q_direct = betainc(d2 / 2.0, d1 / 2.0, jnp.minimum(xt, 1.0))
+    q_comp = 1.0 - betainc(d1 / 2.0, d2 / 2.0, jnp.minimum(wt, 1.0))
+    q = jnp.where(xt <= 0.5, q_direct, q_comp)
     return jnp.where(x <= 0.0, jnp.ones_like(q), q)
 
 
