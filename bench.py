@@ -31,9 +31,12 @@ import time
 import numpy as np
 
 BASELINE_SNPS_PER_SEC = 1285.0
+# mvLMM 2-phenotype e2e reference: 47.6 s for 10,775 SNPs at n=757
+# (releases.org:42-54) ≈ 226 SNPs/s
+BASELINE_MVLMM_SNPS_PER_SEC = 226.0
 
 
-def _synth_mouse(td: str, n=1940, p=12226, seed=0):
+def _synth_mouse(td: str, n=1940, p=12226, seed=0, n_ph=1):
     """mouse_hs1940-scale BIMBAM gz + pheno (3% missing dosages)."""
     rng = np.random.default_rng(seed)
     geno = os.path.join(td, "geno.txt.gz")
@@ -50,8 +53,33 @@ def _synth_mouse(td: str, n=1940, p=12226, seed=0):
                 vals[miss[j]] = "NA"
                 fh.write(f"rs{s + j}, A, T, " + ", ".join(vals) + "\n")
     with open(pheno, "w") as fh:
-        fh.writelines(f"{v:.6f}\n" for v in rng.normal(size=n))
+        Y = rng.normal(size=(n, n_ph))
+        for row in Y:
+            fh.write("\t".join(f"{v:.6f}" for v in row) + "\n")
     return geno, pheno
+
+
+def bench_mvlmm():
+    """End-to-end mvLMM CLI throughput at the releases.org protocol
+    shape (2 phenotypes, n=757, 10,775 SNPs; reference 226 SNPs/s)."""
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import batch_run
+
+    with tempfile.TemporaryDirectory() as td:
+        geno, pheno = _synth_mouse(td, n=757, p=10775, seed=1, n_ph=2)
+        common = f"-g {geno} -p {pheno} -outdir {td} -no-check"
+        batch_run(parse_args((common + " -gk -o MK").split()))
+        k = f"-k {td}/MK.cXX.txt"
+        # warm-up pass pays one-time compiles/program loads
+        batch_run(parse_args(
+            (common + f" {k} -lmm 1 -n 1 2 -o MW").split()))
+        t0 = time.time()
+        batch_run(parse_args(
+            (common + f" {k} -lmm 1 -n 1 2 -o MA").split()))
+        t_wald = time.time() - t0
+        with open(f"{td}/MA.assoc.txt") as fh:
+            n_out = sum(1 for _ in fh) - 1
+    return n_out / t_wald
 
 
 def bench_e2e():
@@ -134,6 +162,7 @@ def main():
 
     t_gk, t_lmm, n_out = bench_e2e()
     e2e_sps = n_out / t_lmm
+    mvlmm_sps = bench_mvlmm()
     print(json.dumps({
         "metric": "univariate_lmm_wald_snps_per_sec_per_chip",
         "value": round(snps_per_sec, 1),
@@ -142,6 +171,9 @@ def main():
         "e2e_snps_per_sec": round(e2e_sps, 1),
         "e2e_vs_baseline": round(e2e_sps / BASELINE_SNPS_PER_SEC, 2),
         "e2e_gk_sec": round(t_gk, 2),
+        "mvlmm_e2e_snps_per_sec": round(mvlmm_sps, 1),
+        "mvlmm_e2e_vs_baseline": round(
+            mvlmm_sps / BASELINE_MVLMM_SNPS_PER_SEC, 2),
     }))
 
 

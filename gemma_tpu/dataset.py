@@ -110,13 +110,18 @@ def _read_list_file(path: str) -> list:
         return [ln.strip() for ln in fh if ln.strip()]
 
 
-def _bimbam_backend(path: str):
+def _bimbam_backend(path: str, stat_mask: np.ndarray | None = None):
     """In-memory vs streaming BIMBAM backend selection.
 
     Big inputs stream through the native reader with bounded RSS (the
     reference's two-pass posture, gemma_io.cpp:639/1418); small inputs
     materialise (faster for repeated passes).  GEMMA_TPU_STREAM=1/0
-    forces; default switches on file size (1 GiB text / 256 MiB gz)."""
+    forces; default switches on file size (1 GiB text / 256 MiB gz).
+
+    stat_mask (analyzed-individual indicator, when known before the
+    parse) fuses QC statistics into the in-memory tokenization pass;
+    the streaming backend computes them in its own native pass later.
+    """
     from gemma_tpu.io import native
     env = os.environ.get("GEMMA_TPU_STREAM", "auto")
     if env == "1":
@@ -125,7 +130,7 @@ def _bimbam_backend(path: str):
         thresh = (256 << 20) if str(path).endswith(".gz") else (1 << 30)
         if os.path.getsize(path) > thresh:
             return StreamingBimbamGenotypes(path)
-    return read_bimbam_genotypes(path)
+    return read_bimbam_genotypes(path, stat_mask=stat_mask)
 
 
 def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
@@ -133,6 +138,7 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
     ids = None
     is_plink = False
     geno = None
+    deferred_geno_path = None
 
     if cfg.file_mbfile or cfg.file_mgeno:
         # -mbfile / -mg: list of genotype files sharing the individual
@@ -166,10 +172,12 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
         if cfg.file_pheno:   # -p overrides .fam phenotypes
             pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
     elif cfg.file_geno:
-        geno = _bimbam_backend(cfg.file_geno)
+        # parse deferred until the analyzed-individual indicator is
+        # known, so the native tokenization pass computes QC
+        # statistics over exactly the analyzed columns (one pass
+        # instead of parse + O(p·n) numpy sweep)
+        deferred_geno_path = cfg.file_geno
         pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
-        if cfg.file_anno:
-            annotate_snps(geno.snps, read_anno(cfg.file_anno))
     elif not need_geno:
         pheno = read_pheno(cfg.file_pheno, tuple(cfg.p_columns))
         need_qc = False
@@ -232,6 +240,17 @@ def load_dataset(cfg: GemmaConfig, need_qc: bool = True,
     Y = pheno[indicator_idv]
     gxe = gxe_all[indicator_idv] if gxe_all is not None else None
     weights = weights_all[indicator_idv] if weights_all is not None else None
+
+    if deferred_geno_path is not None:
+        geno = _bimbam_backend(
+            deferred_geno_path,
+            stat_mask=indicator_idv if need_qc else None)
+        if cfg.file_anno:
+            annotate_snps(geno.snps, read_anno(cfg.file_anno))
+        if geno.n_individuals != ni_total:
+            raise ValueError(
+                f"genotype file has {geno.n_individuals} individuals "
+                f"but phenotype file has {ni_total}")
 
     snp_set = read_snp_set(cfg.file_snps) if cfg.file_snps else None
 

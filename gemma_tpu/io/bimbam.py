@@ -26,16 +26,28 @@ def _open_text(path: str):
     return open(path, "r")
 
 
-def read_bimbam_genotypes(path: str, n_individuals: int | None = None
+def read_bimbam_genotypes(path: str, n_individuals: int | None = None,
+                          stat_mask: np.ndarray | None = None
                           ) -> GenotypeData:
     """Load a BIMBAM mean-genotype file into a GenotypeData.
 
     Uses the native C++ parser (gemma_tpu.io.native) when available —
     ~30x faster than the Python tokenizer — with a pure-Python
     fallback.  n_individuals, if given, validates the column count.
+
+    stat_mask (bool (n,), the analyzed-individual indicator) fuses the
+    per-SNP QC statistic scan into the parse pass; the result carries
+    `qc_stats`/`qc_stats_mask` for io/qc.py.
     """
     from gemma_tpu.io import native
-    parsed = native.parse_bimbam(path)
+    parsed = None
+    if stat_mask is not None and native.available():
+        dims = native.bimbam_dims(path)
+        if dims is not None and dims[1] == len(stat_mask):
+            parsed = native.parse_bimbam(path, stat_mask=stat_mask)
+    if parsed is None:
+        stat_mask = None
+        parsed = native.parse_bimbam(path)
     if parsed is None:
         import warnings
         warnings.warn(
@@ -43,7 +55,8 @@ def read_bimbam_genotypes(path: str, n_individuals: int | None = None
             "failed?) — falling back to the ~30x slower Python "
             "tokenizer; large inputs will be ingestion-bound")
     if parsed is not None:
-        rs, a1, a0, X = parsed
+        rs, a1, a0, X = parsed[:4]
+        stats = parsed[4] if len(parsed) > 4 else None
         if n_individuals is not None and X.shape[1] != n_individuals:
             raise ValueError(
                 f"{path}: {X.shape[1]} genotype columns, expected "
@@ -52,7 +65,10 @@ def read_bimbam_genotypes(path: str, n_individuals: int | None = None
         snps = SnpTable.from_lists(
             chr_=["-9"] * p, rs=rs, cM=[-9.0] * p, pos=[-9] * p,
             a_minor=a1, a_major=a0)
-        return GenotypeData(snps=snps, X=X)
+        return GenotypeData(
+            snps=snps, X=X, qc_stats=stats,
+            qc_stats_mask=(None if stats is None
+                           else np.asarray(stat_mask, bool)))
 
     rs_list, a1_list, a0_list = [], [], []
     rows = []
@@ -168,7 +184,39 @@ class StreamingBimbamGenotypes:
                 break
             span[filled:filled + len(r)] = X
             filled += len(r)
+        if filled < span.shape[0]:
+            # fewer rows than the metadata pass counted: the file was
+            # truncated or modified mid-run — np.empty rows must never
+            # be silently returned as dosages
+            raise IOError(
+                f"{self._path}: stream ended at row {start + filled}, "
+                f"expected at least {hi + 1} rows (file truncated or "
+                "modified while streaming)")
         return span[sel - start]
+
+    def qc_stats(self, stat_mask: np.ndarray) -> np.ndarray:
+        """One native streaming pass computing the (p, 8) per-SNP QC
+        statistic array over the masked columns (no Python-side
+        matrix ever materialises; see native.bimbam_read_block_stats).
+        """
+        from gemma_tpu.io import native
+        stream = native.BimbamStream(self._path, self._n)
+        parts = []
+        mask = np.ascontiguousarray(stat_mask, dtype=np.uint8)
+        while True:
+            out = stream.read_block(8192, metadata_only=True,
+                                    stat_mask=mask)
+            if not out[1]:
+                break
+            parts.append(out[4])
+        stream.close()
+        stats = (np.concatenate(parts) if parts
+                 else np.empty((0, 8), np.float64))
+        if stats.shape[0] != self._p:
+            raise IOError(
+                f"{self._path}: QC pass saw {stats.shape[0]} rows, "
+                f"metadata pass counted {self._p}")
+        return stats
 
     @property
     def X(self) -> np.ndarray:

@@ -53,6 +53,18 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_int64, ctypes.c_int64]
         lib.bimbam_read_block.restype = ctypes.c_int64
+        lib.bimbam_parse_stats.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.bimbam_parse_stats.restype = ctypes.c_int64
+        lib.bimbam_read_block_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.bimbam_read_block_stats.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _lib = None
@@ -63,11 +75,17 @@ def available() -> bool:
     return _load() is not None
 
 
-def parse_bimbam(path: str):
+def parse_bimbam(path: str, stat_mask: np.ndarray | None = None):
     """Parse a BIMBAM genotype file natively.
 
     Returns (rs list, a1 list, a0 list, X (p, n) float64 with NaN
-    missing) or None if the native library is unavailable.
+    missing[, stats]) or None if the native library is unavailable.
+
+    stat_mask (bool (n,)) fuses the per-SNP QC statistic scan into the
+    tokenization pass over the masked (analyzed) columns; the extra
+    return is a (p, 8) float64 array of [n_miss, sum, n_0, n_1, n_2,
+    min, max, sumsq] per SNP (io/qc.py consumes it, replacing its own
+    O(p·n) numpy sweep).
     """
     lib = _load()
     if lib is None:
@@ -86,7 +104,20 @@ def parse_bimbam(path: str):
     a1_buf = ctypes.create_string_buffer(p * _ALLELE_LEN)
     a0_buf = ctypes.create_string_buffer(p * _ALLELE_LEN)
 
-    got = lib.bimbam_parse(path.encode(), X, rs_buf, a1_buf, a0_buf, p, n)
+    stats = None
+    if stat_mask is not None:
+        if len(stat_mask) != n:
+            raise ValueError(f"stat_mask has {len(stat_mask)} entries, "
+                             f"file has {n} genotype columns")
+        mask = np.ascontiguousarray(stat_mask, dtype=np.uint8)
+        stats = np.empty((p, 8), dtype=np.float64)
+        got = lib.bimbam_parse_stats(
+            path.encode(), X.ctypes.data_as(ctypes.c_void_p), rs_buf,
+            a1_buf, a0_buf, p, n, mask.ctypes.data_as(ctypes.c_void_p),
+            stats.ctypes.data_as(ctypes.c_void_p))
+    else:
+        got = lib.bimbam_parse(path.encode(), X, rs_buf, a1_buf,
+                               a0_buf, p, n)
     if got != p:
         return None
 
@@ -97,6 +128,8 @@ def parse_bimbam(path: str):
     rs = _fixed(rs_buf, _RS_LEN, p)
     a1 = _fixed(a1_buf, _ALLELE_LEN, p)
     a0 = _fixed(a0_buf, _ALLELE_LEN, p)
+    if stats is not None:
+        return rs, a1, a0, X, stats
     return rs, a1, a0, X
 
 
@@ -114,14 +147,32 @@ class BimbamStream:
         self.n_cols = n_cols
         self.row = 0               # next file row the stream will yield
 
-    def read_block(self, max_rows: int, metadata_only: bool = False):
-        """Returns (X or None, rs, a1, a0) with ≤ max_rows rows; empty
-        arrays at EOF."""
+    def read_block(self, max_rows: int, metadata_only: bool = False,
+                   stat_mask: np.ndarray | None = None):
+        """Returns (X or None, rs, a1, a0[, stats]) with ≤ max_rows
+        rows; empty arrays at EOF.  stat_mask fuses the per-SNP QC
+        statistic scan (see parse_bimbam) and appends a (rows, 8)
+        stats array to the tuple."""
         lib = self._lib
         rs_buf = ctypes.create_string_buffer(max_rows * _RS_LEN)
         a1_buf = ctypes.create_string_buffer(max_rows * _ALLELE_LEN)
         a0_buf = ctypes.create_string_buffer(max_rows * _ALLELE_LEN)
-        if metadata_only:
+        stats = None
+        if stat_mask is not None:
+            mask = np.ascontiguousarray(stat_mask, dtype=np.uint8)
+            stats = np.empty((max_rows, 8), dtype=np.float64)
+            X = (None if metadata_only
+                 else np.empty((max_rows, self.n_cols), dtype=np.float64))
+            got = lib.bimbam_read_block_stats(
+                self._h,
+                None if X is None else X.ctypes.data_as(ctypes.c_void_p),
+                rs_buf, a1_buf, a0_buf, max_rows, self.n_cols,
+                mask.ctypes.data_as(ctypes.c_void_p),
+                stats.ctypes.data_as(ctypes.c_void_p))
+            if X is not None:
+                X = X[:got]
+            stats = stats[:got]
+        elif metadata_only:
             got = lib.bimbam_read_block(self._h, None, rs_buf, a1_buf,
                                         a0_buf, max_rows, self.n_cols)
             X = None
@@ -137,8 +188,9 @@ class BimbamStream:
             raw = np.frombuffer(buf, dtype=f"S{width}", count=got)
             return [s.split(b"\x00", 1)[0].decode() for s in raw]
 
-        return (X, _fixed(rs_buf, _RS_LEN), _fixed(a1_buf, _ALLELE_LEN),
-                _fixed(a0_buf, _ALLELE_LEN))
+        out = (X, _fixed(rs_buf, _RS_LEN), _fixed(a1_buf, _ALLELE_LEN),
+               _fixed(a0_buf, _ALLELE_LEN))
+        return out + (stats,) if stats is not None else out
 
     def close(self):
         if self._h:

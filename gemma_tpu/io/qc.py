@@ -104,12 +104,95 @@ def run_qc(X_test: np.ndarray, W: np.ndarray,
                     n_idv=n_obs.astype(np.int64))
 
 
+def run_qc_from_stats(stats: np.ndarray, ni_test: int, W: np.ndarray,
+                      geno=None, indicator_idv=None,
+                      miss_level: float = 0.05, maf_level: float = 0.01,
+                      hwe_level: float = 0.0, r2_level: float = 0.9999,
+                      snp_set_mask: np.ndarray | None = None,
+                      plink_poly: bool = False,
+                      block_size: int = 8192) -> QcResult:
+    """run_qc from the (p, 8) per-SNP statistic array the native
+    parser fused into its tokenization pass ([n_miss, sum, n_0, n_1,
+    n_2, min, max, sumsq] over analyzed individuals) — identical
+    filter chain, no O(p·n) matrix sweep.  The covariate-r² filter
+    (the only one needing actual genotypes) streams blocks of
+    still-kept SNPs through `geno.block`."""
+    p = stats.shape[0]
+    n_miss = stats[:, 0]
+    n_obs = ni_test - n_miss
+    missingness = n_miss / ni_test
+    with np.errstate(invalid="ignore", divide="ignore"):
+        maf = stats[:, 1] / (2.0 * n_obs)
+
+    keep = np.ones(p, dtype=bool)
+    if snp_set_mask is not None:
+        keep &= snp_set_mask
+    keep &= missingness <= miss_level
+    if maf_level != -1:
+        keep &= ~((maf < maf_level) | (maf > 1.0 - maf_level))
+
+    n_0, n_1, n_2 = stats[:, 2], stats[:, 3], stats[:, 4]
+    if plink_poly:
+        poly = ~(((n_0 + n_1) == 0) | ((n_1 + n_2) == 0)
+                 | ((n_2 + n_0) == 0))
+    else:
+        poly = (n_obs > 0) & (stats[:, 5] != stats[:, 6])
+    keep &= poly
+
+    if hwe_level != 0 and maf_level != -1:
+        for i in np.flatnonzero(keep):
+            if hwe_exact_p(int(n_0[i]), int(n_2[i]),
+                           int(n_1[i])) < hwe_level:
+                keep[i] = False
+
+    if W.shape[1] != 1 and np.any(keep):
+        sel = np.flatnonzero(keep)
+        WtW = W.T @ W
+        for s in range(0, len(sel), block_size):
+            sub = sel[s:s + block_size]
+            Xb = geno.block(sub)[:, indicator_idv]
+            G = np.where(np.isnan(Xb), (2.0 * maf[sub])[:, None], Xb)
+            WtX = W.T @ G.T
+            v_w = np.einsum("ck,ck->k", WtX, np.linalg.solve(WtW, WtX))
+            v_x = np.einsum("kn,kn->k", G, G)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                bad = v_w / v_x > r2_level
+            keep[sub[bad]] = False
+
+    return QcResult(indicator_snp=keep, n_miss=n_miss.astype(np.int64),
+                    missingness=missingness, maf=maf,
+                    n_idv=n_obs.astype(np.int64))
+
+
 def run_qc_blocked(geno, indicator_idv: np.ndarray, W: np.ndarray,
                    block_size: int = 8192, snp_set_mask=None,
                    **kw) -> QcResult:
     """Blockwise run_qc over a (possibly streaming) genotype backend:
     per-SNP statistics are independent, so each block's QcResult
-    concatenates exactly (the full matrix never materialises)."""
+    concatenates exactly (the full matrix never materialises).
+
+    Fast paths: statistics fused into the native parse (in-memory
+    backend: geno.qc_stats for a matching mask; streaming backend:
+    one native stats-only pass) skip the numpy matrix sweep entirely.
+    """
+    stats = None
+    pre = getattr(geno, "qc_stats", None)
+    if callable(pre):                      # streaming backend method
+        try:
+            stats = pre(indicator_idv)
+        except Exception:
+            stats = None
+    elif pre is not None:                  # fused into in-memory parse
+        mask = getattr(geno, "qc_stats_mask", None)
+        if (mask is not None and mask.shape == indicator_idv.shape
+                and np.array_equal(mask, indicator_idv)):
+            stats = pre
+    if stats is not None:
+        return run_qc_from_stats(
+            stats, int(indicator_idv.sum()), W, geno=geno,
+            indicator_idv=indicator_idv, snp_set_mask=snp_set_mask,
+            block_size=block_size, **kw)
+
     parts = []
     for s in range(0, geno.n_snps, block_size):
         sel = np.arange(s, min(s + block_size, geno.n_snps))

@@ -96,6 +96,30 @@ def read_snp_set(path: str) -> set:
     return out
 
 
+def read_matrix_sidecar(path: str) -> np.ndarray | None:
+    """Load `<path>.bin` (written by io.writers.write_matrix with
+    sidecar=True) iff it matches the text file's current size+mtime;
+    None on any mismatch or absence — the text file is authoritative
+    and the reference's outputs have no sidecar."""
+    import os
+    import struct
+    bin_path = path + ".bin"
+    try:
+        st = os.stat(path)
+        with open(bin_path, "rb") as fh:
+            if fh.read(8) != b"GTPUMAT1":
+                return None
+            r, c, size, mtime = struct.unpack("<qqqq", fh.read(32))
+            if st.st_size != size or st.st_mtime_ns != mtime:
+                return None
+            M = np.fromfile(fh, "<f8", r * c)
+        if M.size != r * c:
+            return None
+        return M.reshape(r, c)
+    except OSError:
+        return None
+
+
 def read_kinship(path: str, indicator_idv: np.ndarray,
                  ids: list | None = None, k_mode: int = 1) -> np.ndarray:
     """Kinship matrix restricted to analyzed individuals.
@@ -110,6 +134,9 @@ def read_kinship(path: str, indicator_idv: np.ndarray,
 
     if k_mode == 1:
         keep = np.flatnonzero(indicator_idv)
+        M = read_matrix_sidecar(path)
+        if M is not None and M.shape == (ni_total, ni_total):
+            return np.ascontiguousarray(M[np.ix_(keep, keep)])
         # fast path: pandas' C tokenizer handles the (GB-scale at
         # n=10k+) dense matrix ~20x faster than per-line parsing;
         # fall back for exotic separators / malformed files
@@ -203,7 +230,15 @@ def read_multi_kinship(path: str, indicator_idv: np.ndarray,
 
 def read_eigen_u(path: str) -> np.ndarray:
     """Eigenvector matrix file (ReadFile_eigenU gemma_io.cpp:1323)."""
-    return np.loadtxt(path, dtype=np.float64)
+    M = read_matrix_sidecar(path)
+    if M is not None:
+        return M
+    try:
+        import pandas as pd
+        return pd.read_csv(path, sep=r"\s+", header=None,
+                           dtype=np.float64, engine="c").to_numpy()
+    except Exception:
+        return np.loadtxt(path, dtype=np.float64)
 
 
 def read_eigen_d(path: str) -> np.ndarray:

@@ -54,6 +54,12 @@ class GenotypeData:
 
     snps: SnpTable
     X: np.ndarray
+    # per-SNP QC statistics fused into the native parse pass
+    # ((p, 8): n_miss, sum, n_0, n_1, n_2, min, max, sumsq over the
+    # masked columns) — io/qc.py consumes them instead of re-scanning
+    # the matrix; None when the parse ran without a mask
+    qc_stats: np.ndarray | None = None
+    qc_stats_mask: np.ndarray | None = None
 
     @property
     def n_snps(self) -> int:

@@ -26,19 +26,46 @@ def _fmt_sci6(v: float) -> str:
     return f"{v:.6e}"
 
 
-def write_matrix(path: str, M: np.ndarray) -> None:
+def write_matrix(path: str, M: np.ndarray, sidecar: bool = False) -> None:
     """Tab-separated %.10g matrix (WriteMatrix, param.cpp:1820-1890).
 
     The native writer is ~10x the Python formatter and byte-identical;
     numpy savetxt is the fallback (also byte-identical — verified in
-    test_native.py)."""
+    test_native.py).
+
+    sidecar=True additionally drops a binary `<path>.bin` cache next
+    to the text file: re-reading the n×n kinship/eigenvector text
+    costs seconds-to-minutes at scale (26 s at n=10k, PERF.md) while
+    the raw float64 image loads in milliseconds.  The sidecar records
+    the text file's size+mtime and is ignored whenever they do not
+    match (the text file remains the interchange format; the reference
+    knows nothing of the cache and never needs to)."""
     M = np.asarray(M, dtype=np.float64)
     if M.ndim == 1:
         M = M[None, :]
     from gemma_tpu.io import native
-    if native.write_matrix_g10(path, M):
-        return
-    np.savetxt(path, M, fmt="%.10g", delimiter="\t")
+    if not native.write_matrix_g10(path, M):
+        np.savetxt(path, M, fmt="%.10g", delimiter="\t")
+    if sidecar:
+        write_matrix_sidecar(path, M)
+
+
+_SIDECAR_MAGIC = b"GTPUMAT1"
+
+
+def write_matrix_sidecar(path: str, M: np.ndarray) -> None:
+    """Binary cache of a matrix just written as text at `path`."""
+    import struct
+    try:
+        st = os.stat(path)
+        with open(path + ".bin", "wb") as fh:
+            fh.write(_SIDECAR_MAGIC)
+            fh.write(struct.pack("<qqqq", M.shape[0], M.shape[1],
+                                 st.st_size, st.st_mtime_ns))
+            np.ascontiguousarray(M, dtype="<f8").tofile(fh)
+    except OSError:
+        # cache is best-effort; the text file is authoritative
+        pass
 
 
 def write_vector(path: str, v: np.ndarray) -> None:

@@ -106,6 +106,35 @@ class KinshipAccumulator:
         return self.K / self.ns_test
 
 
+@jax.jit
+def pack_tril(K):
+    """Packed lower triangle of symmetric K, row-major: the
+    device→host transfer of K then moves n(n+1)/2 elements instead of
+    n² — the axon tunnel readback (~1-4 MB/s) is the single largest
+    cost of a small-n `-gk` run, and K is symmetric by construction.
+
+    Index math stays on device (searchsorted over triangular numbers;
+    no O(n²) host-built index constants in the executable)."""
+    n = K.shape[0]
+    m = n * (n + 1) // 2
+    k = jnp.arange(m, dtype=jnp.int32)
+    # ends of packed row i at (i+1)(i+2)/2; exact integer arithmetic
+    tri_ends = jnp.cumsum(jnp.arange(1, n + 1, dtype=jnp.int32))
+    i = jnp.searchsorted(tri_ends, k, side="right").astype(jnp.int32)
+    start = tri_ends[i] - (i + 1)
+    j = k - start
+    return K[i, j]
+
+
+def unpack_tril(packed: np.ndarray, n: int, dtype=np.float64) -> np.ndarray:
+    """Host-side inverse of pack_tril → full symmetric (n, n)."""
+    K = np.zeros((n, n), dtype=dtype)
+    ii, jj = np.tril_indices(n)
+    K[ii, jj] = packed
+    K[jj, ii] = packed
+    return K
+
+
 def compute_kinship_blocks(block_iter, n_individuals, scale=False, dtype=jnp.float32):
     """Build K from an iterator of (raw_block, n_valid) pairs."""
     acc = KinshipAccumulator(n_individuals, scale=scale, dtype=dtype)
