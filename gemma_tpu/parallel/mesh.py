@@ -96,3 +96,61 @@ def default_mesh() -> Mesh:
     if cap:
         n = max(1, min(n, int(cap)))
     return make_mesh(n, axis_names=("snp",))
+
+
+def hbm_bytes_per_chip() -> int:
+    """Per-chip HBM budget used by the n-axis scale-out heuristics
+    (GEMMA_TPU_HBM_GB overrides; default 16 GB, the v5e/v5p-lite
+    figure measured in PERF.md)."""
+    gb = float(os.environ.get("GEMMA_TPU_HBM_GB", "16"))
+    return int(gb * (1 << 30))
+
+
+def kinship_mesh(n_individuals: int, itemsize: int) -> Mesh | None:
+    """The 2-D (snp × ind) mesh for individual-axis kinship sharding
+    (SURVEY §5.7: K is the quadratic object; one chip's HBM caps n).
+
+    Returns None when the plain 1-D SNP mesh suffices — i.e. the
+    replicated path stays the production default.  A 2-D mesh is used
+    when:
+
+      * GEMMA_TPU_MESH="snp=A,ind=B" requests it explicitly (tests,
+        operators), or
+      * more than one device is visible AND three K-sized buffers
+        (accumulator + the eigensolver's working set) would not fit
+        one chip's HBM.
+
+    The ind axis gets as many devices as needed to fit K comfortably;
+    the rest go to the snp axis.
+    """
+    devs = jax.devices()
+    n_dev = len(devs)
+    cap = os.environ.get("GEMMA_TPU_MAX_DEVICES")
+    if cap:
+        n_dev = max(1, min(n_dev, int(cap)))
+    spec = os.environ.get("GEMMA_TPU_MESH")
+    if spec:
+        parts = dict(kv.split("=") for kv in spec.replace(" ", "")
+                     .split(",") if kv)
+        a = int(parts.get("snp", 1))
+        b = int(parts.get("ind", 1))
+        if a * b > n_dev:
+            raise ValueError(
+                f"GEMMA_TPU_MESH={spec} needs {a * b} devices, "
+                f"{n_dev} visible")
+        if b == 1:
+            return None
+        return make_mesh(a * b, axis_names=("snp", "ind"), shape=(a, b))
+    if n_dev < 2:
+        return None
+    k_bytes = n_individuals * n_individuals * itemsize
+    if 3 * k_bytes <= hbm_bytes_per_chip():
+        return None
+    # smallest power-of-two ind axis that fits 3 K-shards per chip
+    b = 2
+    while (b < n_dev
+           and 3 * k_bytes // b > hbm_bytes_per_chip()):
+        b *= 2
+    b = min(b, n_dev)
+    a = n_dev // b
+    return make_mesh(a * b, axis_names=("snp", "ind"), shape=(a, b))

@@ -130,12 +130,17 @@ def kinship_2d_pipeline(mesh: Mesh, scale: bool):
     a block is (S, n) while K is (n, n).
 
     Returns jitted fn(K, raw_block): K (n, n) laid out P("ind", None),
-    raw_block (S, n) laid out P("snp", None); n and S must divide the
-    respective mesh axis sizes.
+    raw_block (S, n) SNP-sharded — int8 with negative missing (the
+    .bed wire) or float with NaN.  n and S must divide the respective
+    mesh axis sizes; run_gk pads n with all-missing columns (they
+    center to exact zeros and the driver slices them off) and S with
+    all-missing rows.
     """
 
     def local_update(K, raw):
         # K local: (n/ind, n); raw local: (S/snp, n)
+        if jnp.issubdtype(raw.dtype, jnp.integer):
+            raw = jnp.where(raw < 0, jnp.nan, raw.astype(K.dtype))
         x = center_genotype_block(raw.astype(K.dtype), scale)
         i = jax.lax.axis_index("ind")
         rows = jax.lax.dynamic_slice_in_dim(

@@ -106,6 +106,72 @@ def _kinship_snp_mask(ds: Dataset) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # -gk: kinship
 
+# test hook: shard layout of the last 2-D -gk accumulation
+_LAST_GK_2D = {}
+
+
+def _gk_accumulate_2d(cfg: GemmaConfig, ds: Dataset, dtype, mesh,
+                      scale: bool, mask: np.ndarray) -> np.ndarray:
+    """Individual-axis-sharded kinship accumulation (SURVEY §5.7): K
+    lives row-sharded over the mesh's "ind" axis for the whole
+    accumulation — the n×n object never materialises on one chip —
+    and is fetched shard-by-shard to the host at the end (host RAM,
+    unlike one chip's HBM, holds biobank-scale K comfortably).
+
+    Padding makes arbitrary n/S work: individual columns pad with
+    missing values (they center to exact zeros and are sliced off on
+    readback), SNP rows pad with all-missing rows."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gemma_tpu.parallel.shard import kinship_2d_pipeline
+
+    n = ds.ni_total
+    snp_ax = mesh.shape["snp"]
+    ind_ax = mesh.shape["ind"]
+    n_pad = -(-n // ind_ax) * ind_ax
+    bs = -(-cfg.block_size // snp_ax) * snp_ax
+    k_shard = NamedSharding(mesh, P("ind", None))
+    K = jax.jit(lambda: jnp.zeros((n_pad, n_pad), dtype),
+                out_shardings=k_shard)()
+    update = kinship_2d_pipeline(mesh, scale)
+    use_i8 = hasattr(ds.geno, "block_i8")
+    wire = np.float32 if jnp.dtype(dtype) == jnp.float32 else np.float64
+    idx = np.flatnonzero(mask)
+    ns = 0
+    for s in range(0, len(idx), bs):
+        sel = idx[s:s + bs]
+        if use_i8:
+            raw = ds.geno.block_i8(sel)
+            fill = -1
+        else:
+            raw = ds.geno.block(sel).astype(wire)
+            fill = np.nan
+        if raw.shape[0] < bs or n_pad > n:
+            full = np.full((bs, n_pad), fill, raw.dtype)
+            full[:raw.shape[0], :n] = raw
+            raw = full
+        K = update(K, raw)
+        ns += len(sel)
+    if ns == 0:
+        raise ValueError("no SNPs accumulated into kinship matrix")
+    K = K / ns
+    _LAST_GK_2D.clear()
+    _LAST_GK_2D.update(
+        mesh_shape=dict(mesh.shape), n_pad=n_pad,
+        shard_shape=(n_pad // ind_ax, n_pad),
+        sharded=all(sh.data.shape == (n_pad // ind_ax, n_pad)
+                    for sh in K.addressable_shards))
+    out = np.empty((n, n), np.float64)
+    for shard in K.addressable_shards:
+        sl = shard.index[0]
+        lo = 0 if sl.start is None else sl.start
+        hi = n_pad if sl.stop is None else sl.stop
+        hi = min(hi, n)
+        if lo >= n:
+            continue
+        out[lo:hi] = np.asarray(shard.data)[:hi - lo, :n]
+    return out
+
+
 def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     """Build the relatedness matrix over ALL individuals (ni_total),
     from QC-passing SNPs (gemma.cpp -gk block; BimbamKin)."""
@@ -118,33 +184,52 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
 
     # SNP-sharded accumulation over the device mesh: each device sums
     # its shard's X'X, psum merges (gemma_io.cpp:1553-1561 reborn as
-    # mesh-wide fan-out; 1-device mesh = plain single-chip program)
-    mesh = default_mesh()
-    bs = _mesh_block_size(cfg, mesh)
-    use_i8 = hasattr(ds.geno, "block_i8")
+    # mesh-wide fan-out; 1-device mesh = plain single-chip program).
+    # When K itself exceeds one chip's HBM (or GEMMA_TPU_MESH asks), a
+    # 2-D (snp × ind) mesh keeps K row-sharded over the ind axis.
+    from gemma_tpu.parallel.mesh import kinship_mesh
+    mesh2d = kinship_mesh(ds.ni_total, jnp.dtype(dtype).itemsize)
     with log.timer.phase("kinship"):
-        acc = KinshipAccumulator(ds.ni_total, scale=scale, dtype=dtype,
-                                 mesh=mesh)
-        idx = np.flatnonzero(mask)
-        for s in range(0, len(idx), bs):
-            sel = idx[s:s + bs]
-            if use_i8:
-                raw = ds.geno.block_i8(sel)
-                if raw.shape[0] < bs:
-                    raw = np.vstack([raw, np.full(
-                        (bs - raw.shape[0], raw.shape[1]), -1, np.int8)])
+        if mesh2d is not None:
+            K = _gk_accumulate_2d(cfg, ds, dtype, mesh2d, scale, mask)
+        else:
+            mesh = default_mesh()
+            bs = _mesh_block_size(cfg, mesh)
+            use_i8 = hasattr(ds.geno, "block_i8")
+            acc = KinshipAccumulator(ds.ni_total, scale=scale,
+                                     dtype=dtype, mesh=mesh)
+            idx = np.flatnonzero(mask)
+            for s in range(0, len(idx), bs):
+                sel = idx[s:s + bs]
+                if use_i8:
+                    raw = ds.geno.block_i8(sel)
+                    if raw.shape[0] < bs:
+                        raw = np.vstack([raw, np.full(
+                            (bs - raw.shape[0], raw.shape[1]), -1,
+                            np.int8)])
+                else:
+                    raw = _pad_block(
+                        ds.geno.block(sel).astype(np.float64), bs, np.nan)
+                acc.update(raw, n_valid=len(sel))
+            Kd = acc.finalize()
+            if jax.default_backend() == "cpu":
+                K = np.asarray(jax.device_get(Kd), dtype=np.float64)
             else:
-                raw = _pad_block(
-                    ds.geno.block(sel).astype(np.float64), bs, np.nan)
-            acc.update(raw, n_valid=len(sel))
-        K = np.asarray(jax.device_get(acc.finalize()), dtype=np.float64)
+                # symmetric readback: fetch the packed lower triangle
+                # only — halves the bytes crossing the ~1-4 MB/s axon
+                # tunnel, the dominant cost of small-n -gk
+                from gemma_tpu.ops.kinship import pack_tril, unpack_tril
+                packed = np.asarray(jax.device_get(pack_tril(Kd)))
+                K = unpack_tril(packed, ds.ni_total)
 
     if cfg.check:
         validate_kinship(K, strict=cfg.strict)
 
     ensure_outdir(cfg.path_out)
     suffix = "sXX" if scale else "cXX"
-    write_matrix(f"{cfg.out_prefix()}.{suffix}.txt", K)
+    # sidecar: -lmm re-reads this matrix moments later; the binary
+    # cache turns the n² text parse into an mmap-speed load
+    write_matrix(f"{cfg.out_prefix()}.{suffix}.txt", K, sidecar=True)
 
     log.summary["number of total individuals"] = ds.ni_total
     log.summary["number of analyzed individuals"] = ds.ni_test
@@ -183,6 +268,49 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
         check_finite("kinship matrix (-k)", K)
     from gemma_tpu.ops.eigh import _use_host_eigh
     host_eigh = _use_host_eigh(dtype)
+
+    # n-axis scale-out: when K (and the eigensolver's working set)
+    # exceeds one chip's HBM — or GEMMA_TPU_MESH requests it — the
+    # decomposition runs sharded over the mesh's "ind" axis
+    # (parallel/eigh.eigh_sharded) and U stays row-sharded for the
+    # downstream rotations.  SURVEY §5.7; replaces lapack.cpp:205-236's
+    # single-node ceiling.
+    if not host_eigh:
+        from gemma_tpu.parallel.mesh import kinship_mesh
+        mesh2d = kinship_mesh(K.shape[0], jnp.dtype(dtype).itemsize)
+        if mesh2d is not None:
+            with log.timer.phase("eigen"):
+                n = K.shape[0]
+                rs = K.sum(axis=1)
+                Kc = (K - rs[:, None] / n - rs[None, :] / n
+                      + rs.sum() / (n * n))
+                if ds.weights is not None:
+                    w_ = np.asarray(ds.weights, dtype=np.float64)
+                    sw = np.where(w_ > 0, np.sqrt(np.maximum(w_, 0.0)),
+                                  0.0)
+                    denom = np.outer(sw, sw)
+                    Kc = np.where(denom > 0,
+                                  Kc / np.where(denom > 0, denom, 1.0),
+                                  0.0)
+                from gemma_tpu.parallel.eigh import eigh_sharded
+                from gemma_tpu.ops.eigh import EIGEN_MINVALUE
+                w, U = eigh_sharded(jnp.asarray(Kc, dtype), mesh2d,
+                                    min_block=4096)
+                eval_ = jnp.where(w < EIGEN_MINVALUE, 0.0, w)
+                trace_G = jnp.mean(eval_)
+                if cfg.check:
+                    validate_kinship(None, eigenvalues=np.asarray(w),
+                                     strict=cfg.strict,
+                                     max_asym=float(
+                                         np.abs(Kc - Kc.T).max()))
+                if ds.weights is not None:
+                    wd = jnp.asarray(ds.weights, dtype=dtype)
+                    swd = jnp.where(wd > 0,
+                                    jnp.sqrt(jnp.maximum(wd, 0.0)), 0.0)
+                    U = U * swd[:, None]
+                eval_.block_until_ready()
+            return eval_, U, trace_G
+
     with log.timer.phase("eigen"):
         if host_eigh:
             # f64 parity on TPU: the decomposition runs on host LAPACK
@@ -209,13 +337,19 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
             validate_kinship(np.asarray(Kc), strict=cfg.strict)
         max_asym = (float(jnp.max(jnp.abs(Kc - Kc.T)))
                     if cfg.check and not host_eigh else None)
-        eval_, U, trace_G = eigh_zeroed(Kc, out_dtype=dtype)
         if cfg.check and not host_eigh:
-            # validate from the device factors: eigenvalue scan on the
-            # (n,) vector + an on-device asymmetry reduction, instead
-            # of reading the n×n matrix back through the tunnel
-            validate_kinship(None, eigenvalues=np.asarray(eval_),
+            eval_, U, trace_G, raw_w = eigh_zeroed(Kc, out_dtype=dtype,
+                                                   with_raw=True)
+            # validate from the device factors: PRE-zeroing eigenvalue
+            # scan on the (n,) vector + an on-device asymmetry
+            # reduction, instead of reading the n×n matrix back
+            # through the tunnel.  The raw spectrum is essential: the
+            # 1e-10 zeroing clamps exactly the negative eigenvalues
+            # validate_K warns about (debug.cpp:358-381)
+            validate_kinship(None, eigenvalues=np.asarray(raw_w),
                              strict=cfg.strict, max_asym=max_asym)
+        else:
+            eval_, U, trace_G = eigh_zeroed(Kc, out_dtype=dtype)
         if ds.weights is not None:
             wd = jnp.asarray(ds.weights, dtype=dtype)
             swd = jnp.where(wd > 0, jnp.sqrt(jnp.maximum(wd, 0.0)), 0.0)
@@ -231,7 +365,8 @@ def run_eigen(cfg: GemmaConfig, log: RunLog | None = None):
     ds = load_dataset(cfg)
     eval_, U, _ = _load_or_compute_eigen(cfg, ds, log, dtype)
     ensure_outdir(cfg.path_out)
-    write_matrix(f"{cfg.out_prefix()}.eigenU.txt", np.asarray(U))
+    write_matrix(f"{cfg.out_prefix()}.eigenU.txt", np.asarray(U),
+                 sidecar=True)
     write_vector(f"{cfg.out_prefix()}.eigenD.txt", np.asarray(eval_))
     log.summary["number of total individuals"] = ds.ni_total
     log.summary["number of analyzed individuals"] = ds.ni_test
@@ -285,13 +420,22 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         names = ("beta", "se", "lambda_remle", "lambda_mle",
                  "p_wald", "p_lrt", "p_score", "logl_H1")
         gstats = {k: [] for k in names}
+        gene_mesh = default_mesh()
         gb = max(min(cfg.block_size, 256), 1)
+        gb = -(-gb // gene_mesh.size) * gene_mesh.size
+        gene_shard = None
+        if gene_mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            gene_shard = NamedSharding(gene_mesh, P("snp", None))
         with log.timer.phase("opt"):
             for s in range(0, len(gene_ids), gb):
                 blk = expr_test[s:s + gb]
                 k = blk.shape[0]
                 padded = _pad_block(blk.astype(np.float64), gb, 0.0)
-                Uty_blk = jnp.asarray(padded, dtype=dtype) @ U
+                xd = jnp.asarray(padded, dtype=dtype)
+                if gene_shard is not None:
+                    xd = jax.device_put(xd, gene_shard)
+                Uty_blk = xd @ U
                 # the rotated phenotype Uty is the PREDICTOR here
                 st = assoc_gene_block(eval_, UtW, Uty, Uty_blk,
                                       n_cvt=n_cvt, mode=cfg.a_mode,
@@ -345,7 +489,17 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         from gemma_tpu.models.lmm.engine import assoc_gxe_block
         env = jnp.asarray(ds.gxe, dtype=dtype)
         Ut_env = U.T @ env
+        # SNP-sharded GXE: blocks sized to the mesh so the rotation
+        # matmuls and the per-SNP GXE pipeline partition over devices
+        # (lmm.cpp:2283-2540 is a per-SNP loop in the reference; any
+        # fan-out beats it)
+        gxe_mesh = default_mesh()
         bs = max(min(cfg.block_size, 256), 1)
+        bs = -(-bs // gxe_mesh.size) * gxe_mesh.size
+        gxe_shard = None
+        if gxe_mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            gxe_shard = NamedSharding(gxe_mesh, P("snp", None))
     else:
         # SNP-sharded impute+rotate+assoc over the device mesh
         # (lmm.cpp:1499-1658 batch loop as mesh-wide fan-out)
@@ -367,6 +521,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
                 raw = np.where(flip[:, None], 2.0 - raw, raw)
                 block = _pad_block(raw.astype(np.float64), bs, 0.0)
                 xd = jnp.asarray(block, dtype=dtype)
+                if gxe_shard is not None:
+                    xd = jax.device_put(xd, gxe_shard)
                 Utx = xd @ U
                 Utxe = (xd * env[None, :]) @ U
                 st = assoc_gxe_block(eval_, UtW, Ut_env, Uty, Utx, Utxe,
@@ -456,11 +612,16 @@ def run_mvlmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     log.extra.append("se(Ve): " + " ".join(f"{v:.6g}" for v in se_ve))
 
     idx = _assoc_snp_indices(ds)
-    # staggler-compacted EM scales past 2048 (measured 1346 SNPs/s at
-    # 2048 → 1980 at 16384 on v5e); GxE keeps small blocks (per-SNP
-    # vmapped pipeline)
-    block = min(cfg.block_size, 256) if is_gxe else max(cfg.block_size,
-                                                        8192)
+    # straggler-compacted EM scales past 2048 (measured 1346 SNPs/s at
+    # 2048 → 1980 at 16384 on v5e), so the DEFAULT block is raised to
+    # 8192 — but an explicit -block-size (often set to fit host/device
+    # memory) is respected.  GxE keeps small blocks (per-SNP vmapped
+    # pipeline).
+    if is_gxe:
+        block = min(cfg.block_size, 256)
+    else:
+        block = cfg.block_size if cfg.block_size_set else max(
+            cfg.block_size, 8192)
 
     outs = dict(p_wald=[], p_lrt=[], p_score=[], beta=[], Vbeta=[])
     mode = cfg.a_mode
@@ -554,10 +715,20 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     mode = cfg.a_mode  # 51..54
     names = ("beta", "se", "p_wald", "p_lrt", "p_score")
     stats = {k: [] for k in names}
+    # SNP-sharded fan-out (lm.cpp:290-639's per-SNP loop as mesh-wide
+    # batch): blocks rounded to the mesh, committed SNP-sharded
+    mesh = default_mesh()
+    bs = _mesh_block_size(cfg, mesh)
+    lm_shard = None
+    if mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        lm_shard = NamedSharding(mesh, P("snp", None))
     with log.timer.phase("opt"):
-        for s in range(0, len(idx), cfg.block_size):
-            sel = idx[s:s + cfg.block_size]
-            xb = _device_imputed(ds, sel, cfg.block_size, dtype)
+        for s in range(0, len(idx), bs):
+            sel = idx[s:s + bs]
+            xb = _device_imputed(ds, sel, bs, dtype)
+            if lm_shard is not None:
+                xb = jax.device_put(xb, lm_shard)
             st = lm_block(W, y, xb, mode=mode)
             k = len(sel)
             for name in names:
