@@ -367,6 +367,7 @@ def parse_args(argv: list) -> GemmaConfig:
             cfg.precision = take()
         elif a == "-block-size":
             cfg.block_size = int(take())
+            cfg.block_size_set = True
         elif a in ("-ckpt", "-checkpoint"):
             cfg.checkpoint_every = int(take())
         elif a == "-trace":

@@ -140,6 +140,7 @@ class GemmaConfig:
     # runtime
     precision: str = "auto"     # float64 (CPU parity) / float32 (TPU) / auto
     block_size: int = 4096      # SNPs per device batch
+    block_size_set: bool = False  # True when -block-size was explicit
     check: bool = True
     strict: bool = False        # -strict: escalate warnings to errors
     fpe_check: bool = True      # -no-fpe-check disables NaN debugging

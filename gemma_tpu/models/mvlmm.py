@@ -95,6 +95,14 @@ def _assoc_em_block(eval_, X0, Y, x_block, Vg_null, Ve_null, B_null,
     return logl, stat, beta, Vbeta
 
 
+def _x_alt(X0, x_block):
+    S = x_block.shape[0]
+    c = X0.shape[0]
+    return jnp.concatenate(
+        [jnp.broadcast_to(X0, (S, c, X0.shape[1])), x_block[:, None, :]],
+        axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("em_iter", "em_prec"))
 def _em_burst_reml(eval_, X0, Y, x_block, Vg0, Ve0, iter_cap,
                    em_iter: int, em_prec: float):
@@ -104,14 +112,35 @@ def _em_burst_reml(eval_, X0, Y, x_block, Vg0, Ve0, iter_cap,
     S = x_block.shape[0]
     d = Y.shape[0]
     c = X0.shape[0]
-    X_alt = jnp.concatenate(
-        [jnp.broadcast_to(X0, (S, c, X0.shape[1])), x_block[:, None, :]],
-        axis=1)
     B0 = jnp.zeros((S, d, c + 1), Y.dtype)
     Vg, Ve, _, logl, done = core.mph_em(True, em_iter, em_prec, eval_,
-                                        X_alt, Y, Vg0, Ve0, B0,
-                                        iter_cap=iter_cap)
+                                        _x_alt(X0, x_block), Y, Vg0, Ve0,
+                                        B0, iter_cap=iter_cap)
     return Vg, Ve, logl, done
+
+
+@functools.partial(jax.jit, static_argnames=("em_iter", "em_prec",
+                                             "first"))
+def _em_burst_ml(eval_, X0, Y, x_block, Vg0, Ve0, B0, BX0, iter_cap,
+                 em_iter: int, em_prec: float, first: bool):
+    """One bounded ML EM burst.  ML mode carries GEMMA's stale
+    UltVehiBX quirk (mvlmm.cpp:679-694) in BX0/with_bx, so resumed
+    bursts continue the exact single-shot trajectory."""
+    Vg, Ve, B, logl, done, BX = core.mph_em(
+        False, em_iter, em_prec, eval_, _x_alt(X0, x_block), Y, Vg0,
+        Ve0, B0, iter_cap=iter_cap, BX0=(None if first else BX0),
+        with_bx=True)
+    return Vg, Ve, B, logl, done, BX
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reml", "nr_iter", "nr_prec"))
+def _nr_lanes(eval_, X0, Y, x_block, Vg, Ve, reml: bool, nr_iter: int,
+              nr_prec: float):
+    """NR on the straggler lanes only (Vg/Ve update, no stats)."""
+    Vg2, Ve2, logl, _ = core.mph_nr(reml, nr_iter, nr_prec, eval_,
+                                    _x_alt(X0, x_block), Y, Vg, Ve)
+    return Vg2, Ve2, logl
 
 
 @jax.jit
@@ -119,19 +148,37 @@ def _calc_p_block(eval_, X0, Y, x_block, Vg, Ve):
     return core.mph_calc_p(eval_, x_block, X0, Y, Vg, Ve)
 
 
-def _em_staged_reml(eval_, X0, Y, x_block, Vg_null, Ve_null,
-                    em_iter: int, em_prec: float):
-    """REML per-SNP EM with straggler compaction (the lockstep
-    while_loop otherwise runs the WHOLE block for the maximum
+# EM iterations granted before the speed-mode NR finisher takes over
+# the surviving stragglers (f32 only; see _em_staged)
+_NR_SWITCH = 128
+
+
+def _em_staged(reml: bool, eval_, X0, Y, x_block, Vg_null, Ve_null,
+               B_null, em_iter: int, em_prec: float,
+               nr_finish: bool = False, nr_iter: int = 10,
+               nr_prec: float = 1e-3):
+    """Per-SNP EM with straggler compaction, both criteria (the
+    lockstep while_loop otherwise runs the WHOLE block for the maximum
     iteration count of its slowest lane — measured heavy tail on
     issue243: ~2/3 of lanes converge in <100 iterations, a handful
     run to 1000, costing ~10x the useful work).  Runs geometric
     bursts, retires converged lanes between bursts, and finishes the
-    shrinking straggler set at bucketed sizes.  Returns (logl, stat, beta,
-    Vbeta) like _assoc_em_block."""
+    shrinking straggler set at bucketed sizes.  ML bursts thread the
+    carried UltVehiBX (see _em_burst_ml) so compaction stays
+    trajectory-exact for the reference's stale-matrix quirk.
+
+    nr_finish (float32 speed mode only): after _NR_SWITCH EM
+    iterations the surviving stragglers switch to safeguarded
+    Newton-Raphson (quadratic convergence, ~5 steps) instead of
+    crawling to em_iter — same optimum within the 1e-3 speed-mode
+    contract, ~an order of magnitude less straggler work.  Float64
+    parity mode keeps the pure-EM trajectory.
+
+    Returns (logl, stat, beta, Vbeta) like _assoc_em_block."""
     S = x_block.shape[0]
     d = Y.shape[0]
     dtype = x_block.dtype
+    c = X0.shape[0]
 
     Vg_out = np.zeros((S, d, d), np.float64)
     Ve_out = np.zeros((S, d, d), np.float64)
@@ -140,14 +187,34 @@ def _em_staged_reml(eval_, X0, Y, x_block, Vg_null, Ve_null,
     active = np.arange(S)
     Vg_act = jnp.broadcast_to(jnp.asarray(Vg_null, dtype), (S, d, d))
     Ve_act = jnp.broadcast_to(jnp.asarray(Ve_null, dtype), (S, d, d))
+    B_act = (None if reml else
+             jnp.broadcast_to(jnp.asarray(B_null, dtype), (S, d, c + 1)))
+    BX_act = None if reml else jnp.zeros((S, d, Y.shape[1]), dtype)
     x_act = x_block
     burst = 32
     spent = 0
+    first = True
     while len(active) and spent < em_iter:
+        if nr_finish and spent >= _NR_SWITCH:
+            Vg_act, Ve_act, logl = _nr_lanes(
+                eval_, X0, Y, x_act, Vg_act, Ve_act, reml=reml,
+                nr_iter=nr_iter, nr_prec=nr_prec)
+            k = len(active)
+            Vg_out[active] = np.asarray(Vg_act)[:k]
+            Ve_out[active] = np.asarray(Ve_act)[:k]
+            logl_out[active] = np.asarray(logl)[:k]
+            active = np.empty(0, np.int64)
+            break
         it = min(burst, em_iter - spent)
-        Vg_act, Ve_act, logl, done = _em_burst_reml(
-            eval_, X0, Y, x_act, Vg_act, Ve_act, jnp.int32(it),
-            em_iter, em_prec)
+        if reml:
+            Vg_act, Ve_act, logl, done = _em_burst_reml(
+                eval_, X0, Y, x_act, Vg_act, Ve_act, jnp.int32(it),
+                em_iter, em_prec)
+        else:
+            Vg_act, Ve_act, B_act, logl, done, BX_act = _em_burst_ml(
+                eval_, X0, Y, x_act, Vg_act, Ve_act, B_act, BX_act,
+                jnp.int32(it), em_iter, em_prec, first)
+        first = False
         spent += it
         burst = min(burst * 2, 512)
         k = len(active)
@@ -169,11 +236,20 @@ def _em_staged_reml(eval_, X0, Y, x_block, Vg_null, Ve_null,
         x_act = jnp.take(x_act, sel, axis=0)
         Vg_act = jnp.take(Vg_act, sel, axis=0)
         Ve_act = jnp.take(Ve_act, sel, axis=0)
+        if not reml:
+            B_act = jnp.take(B_act, sel, axis=0)
+            BX_act = jnp.take(BX_act, sel, axis=0)
 
     Vg_f = jnp.asarray(Vg_out, dtype)
     Ve_f = jnp.asarray(Ve_out, dtype)
     stat, beta, Vbeta = _calc_p_block(eval_, X0, Y, x_block, Vg_f, Ve_f)
     return jnp.asarray(logl_out, dtype), stat, beta, Vbeta
+
+
+def _em_staged_reml(eval_, X0, Y, x_block, Vg_null, Ve_null,
+                    em_iter: int, em_prec: float, **kw):
+    return _em_staged(True, eval_, X0, Y, x_block, Vg_null, Ve_null,
+                      None, em_iter, em_prec, **kw)
 
 
 @functools.partial(jax.jit,
@@ -303,6 +379,23 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
     em_prec = cfg.em_prec * 10
     nr_iter = max(cfg.nr_iter // 10, 1)
     nr_prec = cfg.nr_prec * 10
+    # float32 speed mode: stragglers switch to the NR finisher after
+    # _NR_SWITCH EM iterations (same optimum within the 1e-3 contract);
+    # float64 parity mode keeps the reference's pure-EM trajectory
+    speed_mode = jnp.dtype(dtype) == jnp.float32
+    staged_kw = dict(nr_finish=bool(speed_mode), nr_iter=nr_iter,
+                     nr_prec=nr_prec)
+
+    # SNP-axis fan-out: commit the block SNP-sharded over the mesh so
+    # every EM/NR/stat program partitions across devices (the mvLMM
+    # analogue of the univariate assoc_pipeline; mvlmm.cpp:2972-3416
+    # gets its DP story here).  1-device meshes no-op.
+    from gemma_tpu.parallel.mesh import default_mesh
+    mesh = default_mesh()
+    if mesh.size > 1 and S % mesh.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        x_block = jax.device_put(
+            x_block, NamedSharding(mesh, P("snp", None)))
 
     p_wald = np.zeros(S)
     p_lrt = np.zeros(S)
@@ -338,11 +431,26 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
                 np.asarray(b2)[:k], np.asarray(Vb2)[:k], crt_abc)
 
     if mode in (2, 4):
-        logl, stat, b, Vb = _assoc_em_block(
-            eval_, X0, Y, x_block, null.Vg_start, null.Ve_start,
-            null.B_start, reml=False, em_iter=em_iter, em_prec=em_prec)
-        p_lrt = np.array(chisq_sf(2.0 * (logl - null.logl_mle_H0),
-                                  float(d)))
+        if speed_mode:
+            # staged ML EM: straggler compaction with the carried
+            # UltVehiBX keeping the trajectory burst-exact, NR
+            # finisher after _NR_SWITCH iterations.  Restricted to
+            # f32 speed mode: the compaction ladder compiles one EM
+            # program per bucket shape, worth it on the TPU where the
+            # programs are disk-cached — while f64 parity (CPU CI)
+            # keeps the single-compile lockstep program
+            logl, stat, b, Vb = _em_staged(
+                False, eval_, X0, Y, x_block, null.Vg_start,
+                null.Ve_start, null.B_start, em_iter=em_iter,
+                em_prec=em_prec, **staged_kw)
+            logl = np.asarray(logl)
+        else:
+            logl, stat, b, Vb = _assoc_em_block(
+                eval_, X0, Y, x_block, null.Vg_start, null.Ve_start,
+                null.B_start, reml=False, em_iter=em_iter,
+                em_prec=em_prec)
+        p_lrt = np.array(chisq_sf(2.0 * (np.asarray(logl)
+                                         - null.logl_mle_H0), float(d)))
         beta, Vbeta = np.array(b), np.array(Vb)
         idx = np.flatnonzero(p_lrt < cfg.p_nr)
         if len(idx):
@@ -357,10 +465,10 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
 
     if mode in (1, 4):
         # staged REML EM with straggler compaction (identical
-        # trajectory to the single-shot loop; see _em_staged_reml)
+        # trajectory to the single-shot loop; see _em_staged)
         logl, stat, b, Vb = _em_staged_reml(
             eval_, X0, Y, x_block, null.Vg_start, null.Ve_start,
-            em_iter=em_iter, em_prec=em_prec)
+            em_iter=em_iter, em_prec=em_prec, **staged_kw)
         p_wald = np.array(chisq_sf(stat, float(d)))
         beta, Vbeta = np.array(b), np.array(Vb)
         idx = np.flatnonzero(p_wald < cfg.p_nr)

@@ -185,9 +185,10 @@ class EmState(NamedTuple):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("reml", "max_iter", "prec"))
+                   static_argnames=("reml", "max_iter", "prec",
+                                    "with_bx"))
 def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
-           Vg0, Ve0, B0, iter_cap=None):
+           Vg0, Ve0, B0, iter_cap=None, BX0=None, with_bx: bool = False):
     """Batched PX-EM for (Vg, Ve, B) (MphEM, mvlmm.cpp:599-724).
 
     eval_: (n,); X: (..., c, n); Y: (d, n); Vg0/Ve0: (..., d, d);
@@ -196,6 +197,14 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
     Returns (Vg, Ve, B, logl, done) — `done` marks lanes that actually
     converged (or went non-finite), letting callers compact and
     continue the stragglers (mvlmm._em_staged_reml).
+
+    ML-mode resumability: GEMMA's ML EM carries the stale UltVehiBX
+    matrix across iterations (mvlmm.cpp:679-694) — a restart that
+    reseeded it from B would change the trajectory.  Passing BX0 (the
+    carried matrix from a previous burst) continues the exact
+    trajectory; with_bx=True appends the carried BX to the return so
+    burst drivers can thread it.  (REML mode depends only on (Vg, Ve)
+    and composes without this.)
     """
     n = eval_.shape[0]
     d = Y.shape[0]
@@ -222,11 +231,16 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
         if reml:
             logl = logl - 0.5 * (logdet_Q - c * logdet_Ve)
 
-        # non-finite lanes (f32 overflow, degenerate SNPs — GEMMA's
-        # NaN-poisoning culture keeps the NaN in the output) must
-        # freeze too: a single NaN lane would otherwise force the
-        # whole lockstep block to max_iter (measured: the 2048-block
-        # EM burned 1000 iterations at ~3.1 ms each on stragglers)
+        # non-finite lanes (f32 overflow, degenerate SNPs) must freeze
+        # too: a single NaN lane would otherwise force the whole
+        # lockstep block to max_iter (measured: the 2048-block EM
+        # burned 1000 iterations at ~3.1 ms each on stragglers).
+        # GEMMA's MphEM never converges on NaN (|NaN-x|<prec is false)
+        # and runs to max_iter with NaN-poisoned Vg/Ve/logl
+        # (mvlmm.cpp:599-724) — so a lane newly frozen for
+        # non-finiteness is NaN-poisoned here, reproducing the
+        # reference output without paying the stalled iterations
+        nanfrozen = (s.t > 0) & ~s.done & ~jnp.isfinite(logl)
         conv = (s.t > 0) & ((jnp.abs(logl - s.logl_prev) < prec)
                             | ~jnp.isfinite(logl))
         done_new = s.done | conv
@@ -247,9 +261,11 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
             # ML mode: GEMMA seeds UltVehiBX from the input B at t==0
             # and afterwards reuses the matrix carried from the
             # previous iteration (old basis) — replicated exactly
-            # (mvlmm.cpp:679-694).
+            # (mvlmm.cpp:679-694).  A resumed burst (BX0 given) is
+            # mid-trajectory: its t==0 uses the carried matrix.
             seed_BX = (UltVehi @ s.B) @ X
-            UltVehiBX = jnp.where(s.t == 0, seed_BX, s.BX)
+            fresh = (s.t == 0) & (BX0 is None)
+            UltVehiBX = jnp.where(fresh, seed_BX, s.BX)
 
         UltVehiU = OmegaE * (UltVehiY - UltVehiBX)
 
@@ -296,11 +312,14 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
 
         keep = done_new
         km = keep[..., None, None] if batch else keep
-        Vg_out = jnp.where(km, s.Vg, Vg_new)
-        Ve_out = jnp.where(km, s.Ve, Ve_new)
-        B_out = jnp.where(km, s.B, B_new)
+        nm = nanfrozen[..., None, None] if batch else nanfrozen
+        nan = jnp.asarray(jnp.nan, Y.dtype)
+        Vg_out = jnp.where(nm, nan, jnp.where(km, s.Vg, Vg_new))
+        Ve_out = jnp.where(nm, nan, jnp.where(km, s.Ve, Ve_new))
+        B_out = jnp.where(nm, nan, jnp.where(km, s.B, B_new))
         BX_out = jnp.where(km, s.BX, BX_carry)
-        logl_out = jnp.where(keep, s.logl, logl)
+        logl_out = jnp.where(nanfrozen, logl,
+                             jnp.where(keep, s.logl, logl))
         logl_prev = jnp.where(keep, s.logl_prev, logl)
 
         return EmState(Vg=Vg_out, Ve=Ve_out, B=B_out, BX=BX_out,
@@ -316,10 +335,13 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
 
     zero = jnp.zeros(batch, Y.dtype)
     state = EmState(Vg=Vg0, Ve=Ve0, B=B0,
-                    BX=jnp.zeros(batch + (d, n), Y.dtype),
+                    BX=(jnp.zeros(batch + (d, n), Y.dtype)
+                        if BX0 is None else BX0),
                     logl=zero, logl_prev=zero,
                     done=jnp.zeros(batch, bool), t=jnp.zeros((), jnp.int32))
     out = jax.lax.while_loop(cond, body, state)
+    if with_bx:
+        return out.Vg, out.Ve, out.B, out.logl, out.done, out.BX
     return out.Vg, out.Ve, out.B, out.logl, out.done
 
 

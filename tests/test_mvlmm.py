@@ -217,3 +217,37 @@ def test_mvlmm_score_null_calibration():
     assert len(pv) > 0.95 * p
     ks = scipy.stats.kstest(pv, "uniform").statistic
     assert ks < 0.08, ks
+
+
+def test_em_nan_lane_poisons_output():
+    """A lane whose likelihood goes non-finite must come out NaN —
+    GEMMA's MphEM never converges on NaN (|NaN-x| < prec is false),
+    runs to max_iter and NaN-poisons Vg/Ve/logl (mvlmm.cpp:599-724);
+    the early freeze here must not smuggle a stale finite iterate into
+    the output.  Healthy lanes in the same block stay untouched."""
+    eval_, X, Y, _, _ = _problem(n=100, seed=6)
+    d = 2
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=(2, 100))
+    X_alt = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(X), (2, 1, 100)),
+         jnp.asarray(xs)[:, None, :]], axis=1)
+    Vg0 = jnp.stack([jnp.eye(d), jnp.full((d, d), jnp.nan)])
+    Ve0 = jnp.broadcast_to(jnp.eye(d), (2, d, d))
+    B0 = jnp.zeros((2, d, 2))
+    Vg, Ve, B, logl, done = core.mph_em(
+        True, 100, 1e-6, jnp.asarray(eval_), X_alt, jnp.asarray(Y),
+        Vg0, Ve0, B0)
+    # poisoned lane: everything NaN, and marked done (no stall)
+    assert not np.isfinite(np.asarray(logl)[1])
+    assert np.all(np.isnan(np.asarray(Vg)[1]))
+    assert np.all(np.isnan(np.asarray(Ve)[1]))
+    assert bool(np.asarray(done)[1])
+    # healthy lane unaffected: matches a solo run exactly
+    Vg_s, Ve_s, _, logl_s, _ = core.mph_em(
+        True, 100, 1e-6, jnp.asarray(eval_), X_alt[0], jnp.asarray(Y),
+        jnp.eye(d), jnp.eye(d), jnp.zeros((d, 2)))
+    np.testing.assert_allclose(np.asarray(logl)[0], float(logl_s),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Vg)[0], np.asarray(Vg_s),
+                               rtol=1e-4, atol=1e-8)

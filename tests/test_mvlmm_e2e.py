@@ -62,15 +62,12 @@ def test_mvlmm_d1_matches_univariate_null(tmp_path):
                                float(res_uni["null"].ve_remle), rtol=1e-3)
 
 
-@pytest.mark.skipif(not os.path.exists(ISSUE243 + ".bed"),
-                    reason="issue243 data not available")
-def test_mvlmm_two_traits_end_to_end(tmp_path):
+def _two_traits_run(tmp_path, n_snps, extra=""):
     out = str(tmp_path)
-    # bound runtime: analyze the first 2000 SNPs only
     snps = str(tmp_path / "subset.txt")
     with open(ISSUE243 + ".bim") as fh, open(snps, "w") as sub:
         for i, line in enumerate(fh):
-            if i >= 2000:
+            if i >= n_snps:
                 break
             sub.write(line.split()[1] + "\n")
     batch_run(parse_args(
@@ -78,12 +75,12 @@ def test_mvlmm_two_traits_end_to_end(tmp_path):
         f"-precision float64".split()))
     cfg = parse_args(
         f"-bfile {ISSUE243} -k {out}/K.cXX.txt -lmm 1 -n 1 2 "
-        f"-snps {snps} "
+        f"-snps {snps} {extra} "
         f"-o mv -outdir {out} -precision float64 -no-check".split())
     res = run_mvlmm(cfg)
 
     p = res["stats"]["p_wald"]
-    assert len(p) > 100
+    assert len(p) > n_snps // 2
     assert np.all(np.isfinite(p))
     assert np.all((p >= 0) & (p <= 1))
     assert np.all(np.isfinite(res["stats"]["beta"]))
@@ -93,6 +90,22 @@ def test_mvlmm_two_traits_end_to_end(tmp_path):
     header = open(f"{out}/mv.assoc.txt").readline().split("\t")
     assert "beta_1" in header and "Vbeta_1_2" in header
     assert header[-1].strip() == "p_wald"
+
+
+@pytest.mark.skipif(not os.path.exists(ISSUE243 + ".bed"),
+                    reason="issue243 data not available")
+def test_mvlmm_two_traits_smoke(tmp_path):
+    """Fast tier: 256 SNPs with a matching block size keeps the
+    compile ladder small (the 2000-SNP variant below costs ~40 min on
+    the 1-core CI host and is `slow`-tiered per VERDICT r2 weak #7)."""
+    _two_traits_run(tmp_path, 256, extra="-block-size 256")
+
+
+@pytest.mark.skipif(not os.path.exists(ISSUE243 + ".bed"),
+                    reason="issue243 data not available")
+@pytest.mark.slow
+def test_mvlmm_two_traits_end_to_end(tmp_path):
+    _two_traits_run(tmp_path, 2000)
 
 
 @pytest.mark.skipif(not os.path.exists(ISSUE243 + ".bed"),
