@@ -1,0 +1,119 @@
+"""Round-3 real-chip measurements (run on the axon TPU, idle host):
+
+  python scripts/perf_round3.py eigen20k   # n=20k kinship+eigen e2e
+  python scripts/perf_round3.py parity6k   # f32 D&C vs f64 host p-values at n=6144
+  python scripts/perf_round3.py mvlmm_lrt  # mvLMM -lmm 2 e2e throughput
+
+Each subcommand prints one JSON line for PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def eigen20k():
+    """Kinship + eigendecomposition end-to-end at n=20,000 through the
+    production CLI (-gk from synthetic PLINK, then -eigen)."""
+    from synth_biobank import write_plink
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import batch_run
+
+    n, p = 20000, 4096
+    td = tempfile.mkdtemp(prefix="perf20k_")
+    prefix = os.path.join(td, "s")
+    write_plink(prefix, n, p, h2=0.5, seed=0)
+    common = f"-bfile {prefix} -outdir {td} -no-check"
+    t0 = time.time()
+    batch_run(parse_args((common + " -gk -o K").split()))
+    t_gk = time.time() - t0
+    t0 = time.time()
+    batch_run(parse_args(
+        (common + f" -k {td}/K.cXX.txt -eigen -o E").split()))
+    t_eigen = time.time() - t0
+    print(json.dumps({"n": n, "p": p, "gk_sec": round(t_gk, 1),
+                      "eigen_sec": round(t_eigen, 1)}))
+
+
+def parity6k():
+    """f32 spectral-D&C (production threshold engaged: n>4608) vs f64
+    host-LAPACK `-lmm 1` p-values at n=6144 — the real-chip version of
+    tests/test_f32_parity_dc.py."""
+    import jax
+    import jax.numpy as jnp
+    from gemma_tpu.models.lmm.engine import fit_null, assoc_block_impl
+    from gemma_tpu.ops.eigh import eigh_zeroed, _DEVICE_EIGH_MAX_N
+
+    n, p_assoc = 6144, 4096
+    assert n > _DEVICE_EIGH_MAX_N
+    rng = np.random.default_rng(0)
+    G = rng.binomial(2, rng.uniform(0.1, 0.5, (8192, 1)),
+                     (8192, n)).astype(np.float64)
+    Gc = G - G.mean(axis=1, keepdims=True)
+    K = (Gc.T @ Gc) / 8192
+    rs = K.sum(axis=1)
+    Kc = K - rs[:, None] / n - rs[None, :] / n + rs.sum() / (n * n)
+    u = Gc[:50].sum(axis=0)
+    y = 0.6 * u / u.std() + rng.normal(size=n)
+    X = Gc[:p_assoc]
+
+    def pipeline(dtype):
+        t0 = time.time()
+        w, U, trace_G = eigh_zeroed(jnp.asarray(Kc, dtype),
+                                    out_dtype=dtype)
+        w.block_until_ready()
+        t_eigh = time.time() - t0
+        W = jnp.ones((n, 1), dtype)
+        UtW, Uty = U.T @ W, U.T @ jnp.asarray(y, dtype)
+        nf = fit_null(w, UtW, Uty, trace_G, 1)
+        st = assoc_block_impl(w, UtW, Uty, jnp.asarray(X, dtype) @ U,
+                              nf.l_mle, nf.logl_mle, n_cvt=1, mode=1)
+        return np.asarray(st.p_wald, np.float64), t_eigh
+
+    p32, t32 = pipeline(jnp.float32)       # D&C path (n > 4608)
+    p64, t64 = pipeline(jnp.float64)       # host LAPACK parity path
+    dp = np.abs(p32 - p64)
+    print(json.dumps({
+        "n": n, "eigh_f32_dc_sec": round(t32, 1),
+        "eigh_f64_host_sec": round(t64, 1),
+        "max_abs_dp_wald": float(dp.max()),
+        "pass_1e3": bool(dp.max() < 1e-3)}))
+
+
+def mvlmm_lrt():
+    """mvLMM -lmm 2 (LRT) end-to-end at the releases.org protocol
+    shape (the Wald number lives in bench.py)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _synth_mouse
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import batch_run
+
+    with tempfile.TemporaryDirectory() as td:
+        geno, pheno = _synth_mouse(td, n=757, p=10775, seed=1, n_ph=2)
+        common = f"-g {geno} -p {pheno} -outdir {td} -no-check"
+        batch_run(parse_args((common + " -gk -o K").split()))
+        k = f"-k {td}/K.cXX.txt"
+        batch_run(parse_args(
+            (common + f" {k} -lmm 2 -n 1 2 -o W").split()))  # warm
+        t0 = time.time()
+        batch_run(parse_args(
+            (common + f" {k} -lmm 2 -n 1 2 -o A").split()))
+        t = time.time() - t0
+        with open(f"{td}/A.assoc.txt") as fh:
+            n_out = sum(1 for _ in fh) - 1
+    print(json.dumps({"mvlmm_lrt_snps_per_sec": round(n_out / t, 1),
+                      "sec": round(t, 1), "snps": n_out}))
+
+
+if __name__ == "__main__":
+    {"eigen20k": eigen20k, "parity6k": parity6k,
+     "mvlmm_lrt": mvlmm_lrt}[sys.argv[1]]()

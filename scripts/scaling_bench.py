@@ -28,10 +28,21 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _read_pcol(path, col):
+    with open(path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        j = header.index(col)
+        return np.array([float(ln.split("\t")[j]) for ln in fh])
+
+
 def _e2e(a):
-    """Drive the PRODUCTION CLI (batch_run -gk / -lmm 1) at each device
-    count on a synthetic PLINK dataset — files, QC, eigen, writers and
-    the sharded device pipeline all included."""
+    """Drive the PRODUCTION CLI (batch_run -gk / -lmm 1, and with
+    --models also 2-phenotype mvLMM and -lm 4) at each device count on
+    a synthetic PLINK dataset — files, QC, eigen, writers and the
+    sharded device pipeline all included.  Output equality against the
+    1-device run is asserted per mode, so the SPMD program shapes are
+    validated before real hardware ever shows up (SURVEY §2.2 DP
+    obligations)."""
     import shutil
     import tempfile
 
@@ -45,8 +56,13 @@ def _e2e(a):
     try:
         prefix = os.path.join(td, "synth")
         write_plink(prefix, a.n, a.p, h2=0.5, seed=0)
+        # 2-column phenotype file for the mvLMM pass (-p overrides .fam)
+        pheno2 = os.path.join(td, "pheno2.txt")
+        rng = np.random.default_rng(1)
+        np.savetxt(pheno2, rng.normal(size=(a.n, 2)), fmt="%.6f")
         counts = [d for d in (1, 2, 4, 8, 16, 32, 64) if d <= total_dev]
         base = None
+        p_ref = {}
         for d in counts:
             os.environ["GEMMA_TPU_MAX_DEVICES"] = str(d)
             out = os.path.join(td, f"out{d}")
@@ -58,15 +74,37 @@ def _e2e(a):
             batch_run(parse_args(
                 (common + f" -k {out}/K.cXX.txt -lmm 1 -o A").split()))
             t_lmm = time.time() - t0
+            rec = {"devices": d, "gk_sec": round(t_gk, 2),
+                   "lmm_sec": round(t_lmm, 2)}
+            p_now = {"lmm": _read_pcol(f"{out}/A.assoc.txt", "p_wald")}
+            if a.models:
+                t0 = time.time()
+                batch_run(parse_args(
+                    (common + f" -p {pheno2} -k {out}/K.cXX.txt "
+                     "-lmm 1 -n 1 2 -emi 1000 -nri 10 -o M").split()))
+                rec["mvlmm_sec"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                batch_run(parse_args((common + " -lm 4 -o L").split()))
+                rec["lm_sec"] = round(time.time() - t0, 2)
+                p_now["mvlmm"] = _read_pcol(f"{out}/M.assoc.txt",
+                                            "p_wald")
+                p_now["lm"] = _read_pcol(f"{out}/L.assoc.txt", "p_wald")
+            if not p_ref:
+                p_ref = p_now
+            else:
+                for mode, pv in p_now.items():
+                    if not np.allclose(pv, p_ref[mode], atol=1e-8,
+                                       equal_nan=True):
+                        raise AssertionError(
+                            f"{mode}: {d}-device output diverges from "
+                            "1-device output")
+                rec["output_equal_1dev"] = True
             sps = a.p / t_lmm
             if base is None:
                 base = sps
-            print(json.dumps({
-                "devices": d, "gk_sec": round(t_gk, 2),
-                "lmm_sec": round(t_lmm, 2),
-                "e2e_lmm_snps_per_sec": round(sps, 1),
-                "scaling_efficiency": round(sps / (base * d), 3),
-            }))
+            rec["e2e_lmm_snps_per_sec"] = round(sps, 1)
+            rec["scaling_efficiency"] = round(sps / (base * d), 3)
+            print(json.dumps(rec))
     finally:
         os.environ.pop("GEMMA_TPU_MAX_DEVICES", None)
         shutil.rmtree(td, ignore_errors=True)
@@ -82,6 +120,10 @@ def main():
     ap.add_argument("--e2e", action="store_true",
                     help="measure through batch_run on a synthetic "
                          "PLINK dataset instead of the bare kernel")
+    ap.add_argument("--models", action="store_true",
+                    help="with --e2e: also drive 2-phenotype mvLMM and "
+                         "-lm 4 per device count, asserting output "
+                         "equality against the 1-device run")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="force an N-device virtual CPU mesh (the axon "
                          "TPU plugin ignores JAX_PLATFORMS, so this sets "
