@@ -51,12 +51,12 @@ def _use_host_eigh(dtype) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("out_dtype_name",))
 def _eigh_zeroed_device(G, out_dtype_name: str):
-    eval_, U = jnp.linalg.eigh(jnp.asarray(G, jnp.dtype(out_dtype_name)))
-    eval_ = jnp.where(eval_ < EIGEN_MINVALUE, 0.0, eval_)
-    return eval_, U, jnp.mean(eval_)
+    raw, U = jnp.linalg.eigh(jnp.asarray(G, jnp.dtype(out_dtype_name)))
+    eval_ = jnp.where(raw < EIGEN_MINVALUE, 0.0, raw)
+    return eval_, U, jnp.mean(eval_), raw
 
 
-def eigh_zeroed(G, out_dtype=None):
+def eigh_zeroed(G, out_dtype=None, with_raw: bool = False):
     """Eigendecompose symmetric G; zero eigenvalues < 1e-10.
 
     Returns (eigenvalues, U, trace_G) where trace_G = mean(zeroed
@@ -64,20 +64,28 @@ def eigh_zeroed(G, out_dtype=None):
     Eigenvalues ascend, matching LAPACK/GEMMA ordering.  `out_dtype`
     overrides the factor dtype (the host path may receive a float64
     numpy matrix while the device pipeline runs float32).
+
+    with_raw=True appends the PRE-zeroing eigenvalues as a fourth
+    return — the -check validator must scan those (validate_K reads
+    the raw spectrum, debug.cpp:358-381; the zeroing rule would erase
+    the negative eigenvalues it warns about).
     """
     dtype = out_dtype or G.dtype
     if _use_host_eigh(dtype):
         w, V = np.linalg.eigh(np.asarray(G, dtype=np.float64))
         eval_ = jnp.asarray(np.where(w < EIGEN_MINVALUE, 0.0, w), dtype)
         U = jnp.asarray(V, dtype)
-        return eval_, U, jnp.mean(eval_)
+        out = (eval_, U, jnp.mean(eval_))
+        return out + (jnp.asarray(w, dtype),) if with_raw else out
     if (G.shape[0] > _DEVICE_EIGH_MAX_N
             and jax.default_backend() not in ("cpu",)):
         from gemma_tpu.parallel.eigh import eigh_dc
         w, U = eigh_dc(jnp.asarray(G, jnp.dtype(dtype)), min_block=4096)
         eval_ = jnp.where(w < EIGEN_MINVALUE, 0.0, w)
-        return eval_, U, jnp.mean(eval_)
-    return _eigh_zeroed_device(G, jnp.dtype(dtype).name)
+        out = (eval_, U, jnp.mean(eval_))
+        return out + (w,) if with_raw else out
+    eval_, U, tr, raw = _eigh_zeroed_device(G, jnp.dtype(dtype).name)
+    return (eval_, U, tr, raw) if with_raw else (eval_, U, tr)
 
 
 def zero_eigenvalues(eval_):
