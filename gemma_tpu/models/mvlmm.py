@@ -433,12 +433,13 @@ def mvlmm_assoc(eval_, X0, Y, x_block, null: MvlmmNull, mode: int, cfg,
     if mode in (2, 4):
         if speed_mode:
             # staged ML EM: straggler compaction with the carried
-            # UltVehiBX keeping the trajectory burst-exact, NR
-            # finisher after _NR_SWITCH iterations.  Restricted to
-            # f32 speed mode: the compaction ladder compiles one EM
-            # program per bucket shape, worth it on the TPU where the
-            # programs are disk-cached — while f64 parity (CPU CI)
-            # keeps the single-compile lockstep program
+            # UltVehiBX keeping the trajectory burst-exact, plus the
+            # NR finisher.  f32/TPU only: the compaction ladder
+            # compiles one EM program per bucket shape — disk-cached
+            # and amortised on the TPU, but measured 2x SLOWER than
+            # the single-compile lockstep program on the cache-less
+            # CPU CI backend (463 s vs 233 s on issue243/300), so f64
+            # parity keeps lockstep
             logl, stat, b, Vb = _em_staged(
                 False, eval_, X0, Y, x_block, null.Vg_start,
                 null.Ve_start, null.B_start, em_iter=em_iter,

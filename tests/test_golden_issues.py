@@ -64,18 +64,21 @@ def test_issue243_mvlmm_2traits(tmp_path):
         f"-bfile {DATA}/issue243/multivariate_2traits -gk -outdir {out} "
         f"-precision float64 -o i243".split())
     run_gk(cfg)
-    # subset SNPs to keep the runtime bounded: mvLMM over the first 500
+    # subset SNPs to keep the runtime bounded: mvLMM over the first 300
     snps = tmp_path / "snps.txt"
     with open(f"{DATA}/issue243/multivariate_2traits.bim") as fh, \
          open(snps, "w") as oh:
         for i, line in enumerate(fh):
-            if i >= 500:
+            if i >= 300:
                 break
             oh.write(line.split()[1] + "\n")
+    # -block-size 256 keeps the padded EM block at 256 lanes (the
+    # default raises to 8192, 27x wasted lockstep work for 300 SNPs —
+    # this test alone cost 22 min of the 1-core CI budget)
     cfg2 = parse_args(
         f"-bfile {DATA}/issue243/multivariate_2traits -lmm 2 "
         f"-k {out}/i243.cXX.txt -n 1 2 -snps {snps} -outdir {out} "
-        f"-precision float64 -no-check -o i243".split())
+        f"-precision float64 -no-check -block-size 256 -o i243".split())
     res = run_mvlmm(cfg2)
     p = res["stats"]["p_lrt"]
     assert len(p) > 100

@@ -95,10 +95,10 @@ def _two_traits_run(tmp_path, n_snps, extra=""):
 @pytest.mark.skipif(not os.path.exists(ISSUE243 + ".bed"),
                     reason="issue243 data not available")
 def test_mvlmm_two_traits_smoke(tmp_path):
-    """Fast tier: 256 SNPs with a matching block size keeps the
+    """Fast tier: 128 SNPs with a matching block size keeps the
     compile ladder small (the 2000-SNP variant below costs ~40 min on
     the 1-core CI host and is `slow`-tiered per VERDICT r2 weak #7)."""
-    _two_traits_run(tmp_path, 256, extra="-block-size 256")
+    _two_traits_run(tmp_path, 128, extra="-block-size 128")
 
 
 @pytest.mark.skipif(not os.path.exists(ISSUE243 + ".bed"),
