@@ -234,3 +234,23 @@ def write_matrix_g10(path: str, M) -> bool:
     rows, cols = (M.shape[0], M.shape[1]) if M.ndim == 2 else (1, M.shape[0])
     return lib.write_matrix_g10(path.encode(), M.reshape(rows, cols),
                                 rows, cols) == 0
+
+
+def write_matrix_g10_rows(path: str, M, append: bool) -> bool:
+    """Append (or start) a row chunk of a %.10g matrix file; False if
+    the native library is unavailable (caller falls back to Python
+    formatting, which stays byte-identical)."""
+    lib = _load()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_wmr_ready"):
+        lib.write_matrix_g10_rows.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        lib.write_matrix_g10_rows.restype = ctypes.c_int
+        lib._wmr_ready = True
+    M = np.ascontiguousarray(M, dtype=np.float64)
+    rows, cols = (M.shape[0], M.shape[1]) if M.ndim == 2 else (1, M.shape[0])
+    return lib.write_matrix_g10_rows(path.encode(), M.reshape(rows, cols),
+                                     rows, cols, 1 if append else 0) == 0

@@ -106,33 +106,48 @@ class KinshipAccumulator:
         return self.K / self.ns_test
 
 
-@jax.jit
-def pack_tril(K):
-    """Packed lower triangle of symmetric K, row-major: the
-    device→host transfer of K then moves n(n+1)/2 elements instead of
-    n² — the axon tunnel readback (~1-4 MB/s) is the single largest
-    cost of a small-n `-gk` run, and K is symmetric by construction.
+def triu_chunk_bounds(n: int, itemsize: int,
+                      target_bytes: int = 1 << 20) -> tuple:
+    """Row ranges [(a, b), ...] covering 0..n whose packed
+    upper-triangle segments are each ~target_bytes — the chunk
+    granularity for overlapping the device→host transfer with text
+    writing (row i contributes n - i elements)."""
+    per_row = np.arange(n, 0, -1, dtype=np.int64) * itemsize
+    csum = np.concatenate([[0], np.cumsum(per_row)])
+    bounds = []
+    a = 0
+    while a < n:
+        b = int(np.searchsorted(csum, csum[a] + target_bytes,
+                                side="left"))
+        b = max(a + 1, min(b, n))
+        bounds.append((a, b))
+        a = b
+    return tuple(bounds)
 
-    Index math stays on device (searchsorted over triangular numbers;
-    no O(n²) host-built index constants in the executable)."""
+
+@functools.partial(jax.jit, static_argnames=("bounds",))
+def pack_triu_chunks(K, bounds: tuple):
+    """Packed upper triangle of symmetric K, split at `bounds` row
+    ranges, as a tuple of 1-D segments from ONE device program (one
+    program load on the axon tunnel, then each segment's host copy is
+    issued async so text writing of earlier rows overlaps the
+    transfer of later ones).
+
+    Row-major within a chunk: rows a..b-1, row i packed as K[i, i:].
+    Index math stays on device (no O(n²) host index constants)."""
     n = K.shape[0]
-    m = n * (n + 1) // 2
-    k = jnp.arange(m, dtype=jnp.int32)
-    # ends of packed row i at (i+1)(i+2)/2; exact integer arithmetic
-    tri_ends = jnp.cumsum(jnp.arange(1, n + 1, dtype=jnp.int32))
-    i = jnp.searchsorted(tri_ends, k, side="right").astype(jnp.int32)
-    start = tri_ends[i] - (i + 1)
-    j = k - start
-    return K[i, j]
-
-
-def unpack_tril(packed: np.ndarray, n: int, dtype=np.float64) -> np.ndarray:
-    """Host-side inverse of pack_tril → full symmetric (n, n)."""
-    K = np.zeros((n, n), dtype=dtype)
-    ii, jj = np.tril_indices(n)
-    K[ii, jj] = packed
-    K[jj, ii] = packed
-    return K
+    out = []
+    for a, b in bounds:
+        lens = n - jnp.arange(a, b, dtype=jnp.int32)     # (b-a,)
+        ends = jnp.cumsum(lens)
+        m_c = int((b - a) * n - (a + b - 1) * (b - a) // 2)
+        k = jnp.arange(m_c, dtype=jnp.int32)
+        t = jnp.searchsorted(ends, k, side="right").astype(jnp.int32)
+        i = a + t
+        start = ends[t] - (n - i)
+        j = i + (k - start)
+        out.append(K[i, j])
+    return tuple(out)
 
 
 def compute_kinship_blocks(block_iter, n_individuals, scale=False, dtype=jnp.float32):

@@ -172,6 +172,48 @@ def _gk_accumulate_2d(cfg: GemmaConfig, ds: Dataset, dtype, mesh,
     return out
 
 
+def _fetch_k_streamed(Kd, n: int, path: str | None):
+    """Fetch symmetric K from the device as packed upper-triangle
+    chunks; when `path` is given, text rows are written as each chunk
+    lands so the ~1-4 MB/s tunnel transfer and the %.10g formatting
+    overlap instead of running back-to-back (both are seconds-scale at
+    mouse n, the two dominant costs of a warm `-gk`).
+
+    One device program packs every chunk (one tunnel program load);
+    all host copies are issued async up front so chunk t+1 streams
+    while chunk t formats.  Returns (host float64 K, text_written)."""
+    from gemma_tpu.io import native as _native
+    from gemma_tpu.ops.kinship import pack_triu_chunks, triu_chunk_bounds
+
+    itemsize = jnp.dtype(Kd.dtype).itemsize
+    total = n * (n + 1) // 2 * itemsize
+    # ~16 chunks saturate the transfer/format overlap; finer chunking
+    # only grows the program's output count
+    bounds = triu_chunk_bounds(n, itemsize,
+                               target_bytes=max(1 << 20, total // 16))
+    chunks = pack_triu_chunks(Kd, bounds)
+    for c in chunks:
+        c.copy_to_host_async()
+    streaming = path is not None and _native.available()
+    K = np.empty((n, n), np.float64)
+    for t, (seg_d, (a, b)) in enumerate(zip(chunks, bounds)):
+        seg = np.asarray(seg_d).astype(np.float64, copy=False)
+        off = 0
+        for i in range(a, b):
+            m = n - i
+            K[i, i:] = seg[off:off + m]
+            off += m
+        # mirror: columns < a come from completed earlier rows in one
+        # block transpose; the small intra-chunk triangle row-by-row
+        K[a:b, :a] = K[:a, a:b].T
+        for i in range(a + 1, b):
+            K[i, a:i] = K[a:i, i]
+        if streaming:
+            streaming = _native.write_matrix_g10_rows(
+                path, K[a:b], append=t > 0)
+    return K, streaming
+
+
 def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     """Build the relatedness matrix over ALL individuals (ni_total),
     from QC-passing SNPs (gemma.cpp -gk block; BimbamKin)."""
@@ -212,24 +254,34 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
                         ds.geno.block(sel).astype(np.float64), bs, np.nan)
                 acc.update(raw, n_valid=len(sel))
             Kd = acc.finalize()
+
+    ensure_outdir(cfg.path_out)
+    suffix = "sXX" if scale else "cXX"
+    txt_path = f"{cfg.out_prefix()}.{suffix}.txt"
+    text_written = False
+    if mesh2d is None:
+        with log.timer.phase("kinship"):
             if jax.default_backend() == "cpu":
                 K = np.asarray(jax.device_get(Kd), dtype=np.float64)
             else:
-                # symmetric readback: fetch the packed lower triangle
-                # only — halves the bytes crossing the ~1-4 MB/s axon
-                # tunnel, the dominant cost of small-n -gk
-                from gemma_tpu.ops.kinship import pack_tril, unpack_tril
-                packed = np.asarray(jax.device_get(pack_tril(Kd)))
-                K = unpack_tril(packed, ds.ni_total)
+                # symmetric readback: fetch the packed upper triangle
+                # only (halves the bytes crossing the ~1-4 MB/s axon
+                # tunnel) and, unless -strict must gate the output on
+                # validation, stream text rows during the transfer
+                K, text_written = _fetch_k_streamed(
+                    Kd, ds.ni_total,
+                    None if cfg.strict else txt_path)
 
     if cfg.check:
         validate_kinship(K, strict=cfg.strict)
 
-    ensure_outdir(cfg.path_out)
-    suffix = "sXX" if scale else "cXX"
     # sidecar: -lmm re-reads this matrix moments later; the binary
     # cache turns the n² text parse into an mmap-speed load
-    write_matrix(f"{cfg.out_prefix()}.{suffix}.txt", K, sidecar=True)
+    if text_written:
+        from gemma_tpu.io.writers import write_matrix_sidecar
+        write_matrix_sidecar(txt_path, K)
+    else:
+        write_matrix(txt_path, K, sidecar=True)
 
     log.summary["number of total individuals"] = ds.ni_total
     log.summary["number of analyzed individuals"] = ds.ni_test

@@ -7,17 +7,20 @@
 //
 // C ABI (ctypes):
 //   write_matrix_g10(path, data, rows, cols) -> 0 on success
+//   write_matrix_g10_rows(path, data, rows, cols, append) -> 0 on
+//     success; append != 0 opens in "a" mode so a symmetric matrix can
+//     be written in row chunks as they stream off the device (the
+//     axon device->host link runs at 1-4 MB/s, so overlapping the
+//     transfer with text formatting hides most of the write cost).
 
 #include <cstdio>
 #include <cstdint>
 #include <vector>
 
-extern "C" {
+namespace {
 
-int write_matrix_g10(const char *path, const double *data,
-                     int64_t rows, int64_t cols) {
-    FILE *fh = std::fopen(path, "w");
-    if (!fh) return 1;
+int write_rows(FILE *fh, const double *data, int64_t rows,
+               int64_t cols) {
     std::vector<char> iobuf(1 << 22);
     std::setvbuf(fh, iobuf.data(), _IOFBF, iobuf.size());
     char buf[64];
@@ -30,8 +33,25 @@ int write_matrix_g10(const char *path, const double *data,
         }
         std::fputc('\n', fh);
     }
-    std::fclose(fh);
-    return 0;
+    return std::fclose(fh);
+}
+
+}  // namespace
+
+extern "C" {
+
+int write_matrix_g10(const char *path, const double *data,
+                     int64_t rows, int64_t cols) {
+    FILE *fh = std::fopen(path, "w");
+    if (!fh) return 1;
+    return write_rows(fh, data, rows, cols);
+}
+
+int write_matrix_g10_rows(const char *path, const double *data,
+                          int64_t rows, int64_t cols, int append) {
+    FILE *fh = std::fopen(path, append ? "a" : "w");
+    if (!fh) return 1;
+    return write_rows(fh, data, rows, cols);
 }
 
 }  // extern "C"
