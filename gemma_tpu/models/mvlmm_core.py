@@ -128,11 +128,48 @@ def eigen_proc(Vg, Ve):
     return D_l, UltVeh, UltVehi, logdet_Ve
 
 
-def calc_qi(eval_, D_l, X):
+def _blocks_inv_logdet(blocks):
+    """Batched inverse + log|det| of small (..., c, c) blocks.
+
+    c<=2 uses the closed adjugate form (no LU): inside the SNP-batched
+    EM these blocks are the entire CalcQi cost — GEMMA profiles CalcQi
+    at 22.7% of an mvLMM run (test/performance/releases.org:139-156)
+    and a batched LU over 16k lanes per EM iteration is the TPU
+    analogue.  Larger c falls back to LAPACK-style inv/slogdet.
+    Returns ((..., c, c), (...,))."""
+    c = blocks.shape[-1]
+    if c == 1:
+        det = blocks[..., 0, 0]
+        inv = (1.0 / det)[..., None, None]
+    elif c == 2:
+        a = blocks[..., 0, 0]
+        b = blocks[..., 0, 1]
+        e = blocks[..., 1, 0]
+        f = blocks[..., 1, 1]
+        det = a * f - b * e
+        inv = jnp.stack(
+            [jnp.stack([f, -b], -1), jnp.stack([-e, a], -1)],
+            -2) / det[..., None, None]
+    else:
+        sign, ld = jnp.linalg.slogdet(blocks)
+        return jnp.linalg.inv(blocks), ld
+    return inv, jnp.log(jnp.abs(det))
+
+
+def calc_qi(eval_, D_l, X, with_blocks: bool = False):
     """Q^{-1} and log|Q| where Q[i*d+l, j*d+l] = sum_k X_ik X_jk /
     (D_l[l] delta_k + 1) (CalcQi, mvlmm.cpp:285-329).
 
-    eval_: (n,), D_l: (..., d), X: (c, n).  Returns (..., dc, dc).
+    Q couples covariates only within one whitened phenotype l — it is
+    a permuted block-diagonal of d Gram blocks of size c×c — so the
+    inverse is d small inverses and log|Q| the sum of block logdets;
+    no (dc, dc) LU ever runs (the reference LU-inverts the full dc×dc
+    Q per SNP per iteration).
+
+    eval_: (n,), D_l: (..., d), X: (c, n).  Returns (..., dc, dc) and
+    log|Q|; with_blocks=True appends the (..., d, c, c) per-phenotype
+    inverse blocks so consumers can contract block-wise instead of
+    through the mostly-zero full matrix.
     """
     d = D_l.shape[-1]
     c = X.shape[-2]
@@ -141,15 +178,16 @@ def calc_qi(eval_, D_l, X):
     # blocks (..., d, c, c)
     blocks = jnp.einsum("...ln,...in,...jn->...lij", w, X, X)
     batch = blocks.shape[:-3]
+    binv, bld = _blocks_inv_logdet(blocks)
     Q4 = jnp.zeros(batch + (c, d, c, d), blocks.dtype)
     ld = np.arange(d)
-    # set Q4[..., :, l, :, l] = blocks[..., l, :, :]; the two advanced
+    # set Q4[..., :, l, :, l] = binv[..., l, :, :]; the two advanced
     # index axes are non-adjacent so they land in front of the result
-    Q4 = Q4.at[..., :, ld, :, ld].set(jnp.moveaxis(blocks, -3, 0))
-    Q = Q4.reshape(batch + (c * d, c * d))
-    Qi = jnp.linalg.inv(Q)
-    sign, logdet_Q = jnp.linalg.slogdet(Q)
-    return Qi, logdet_Q
+    Q4 = Q4.at[..., :, ld, :, ld].set(jnp.moveaxis(binv, -3, 0))
+    Qi = Q4.reshape(batch + (c * d, c * d))
+    if with_blocks:
+        return Qi, bld.sum(-1), binv
+    return Qi, bld.sum(-1)
 
 
 def _calc_xhiy(eval_, D_l, X, UltVehiY):
@@ -222,7 +260,7 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
 
     def body(s: EmState) -> EmState:
         D_l, UltVeh, UltVehi, logdet_Ve = eigen_proc(s.Vg, s.Ve)
-        Qi, logdet_Q = calc_qi(eval_, D_l, X)
+        Qi, logdet_Q, Qb = calc_qi(eval_, D_l, X, with_blocks=True)
         UltVehiY = UltVehi @ Y                            # (..., d, n)
         xHiy = _calc_xhiy(eval_, D_l, X, UltVehiY)
 
@@ -290,16 +328,20 @@ def mph_em(reml: bool, max_iter: int, prec: float, eval_, X, Y,
         See = See.at[..., dd, dd].set(jnp.sum(OmegaE, axis=-1))
         if reml:
             # M_e[k] has columns x_jk/(delta_k dl_i+1) placed at row
-            # j*d+i, col i; Sigma += sum_k M' Qi M (with dl/delta factors)
+            # j*d+i, col i; Sigma += sum_k M' Qi M (with dl/delta
+            # factors).  Qi is block-diagonal across the whitened
+            # phenotype index (see calc_qi), so M' Qi M is DIAGONAL
+            # and each entry is a c×c contraction with Qi's block —
+            # never the (cd)² full-matrix einsum.
             w = 1.0 / v                                    # (..., d, n)
             Xw = jnp.einsum("...jn,...in->...jin", X, w)   # (..., c, d, n)
-            # Sigma_ee_2[a,b] = sum_k sum_{j,j'} x_e[j,a,k] Qi[jd+a, j'd+b] x_e[j',b,k]
-            Qi5 = Qi.reshape(batch + (c, d, c, d))
-            See = See + jnp.einsum("...jan,...jaqb,...qbn->...ab",
-                                   Xw, Qi5, Xw)
+            Gee = jnp.einsum("...jan,...qan->...ajq", Xw, Xw)
+            see2 = jnp.sum(Qb * Gee, axis=(-1, -2))        # (..., d)
+            See = See.at[..., dd, dd].add(see2)
             Xwu = Xw * D_l[..., None, :, None]             # times dl
-            Suu = Suu + jnp.einsum("...jan,...jaqb,...qbn,n->...ab",
-                                   Xwu, Qi5, Xwu, eval_)
+            Guu = jnp.einsum("...jan,...qan,n->...ajq", Xwu, Xwu, eval_)
+            suu2 = jnp.sum(Qb * Guu, axis=(-1, -2))
+            Suu = Suu.at[..., dd, dd].add(suu2)
         Suu = UltVehT @ Suu @ UltVeh
         See = UltVehT @ See @ UltVeh
 

@@ -251,3 +251,31 @@ def test_em_nan_lane_poisons_output():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(Vg)[0], np.asarray(Vg_s),
                                rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3])
+def test_calc_qi_matches_dense_inverse(c):
+    """calc_qi's per-phenotype block inversion (closed adjugate for
+    c<=2, LU fallback above) against an explicit dense build of the
+    (dc, dc) Q matrix (CalcQi, mvlmm.cpp:285-329)."""
+    rng = np.random.default_rng(7 + c)
+    n, d, B = 60, 2, 5
+    eval_ = np.sort(np.abs(rng.gamma(2.0, 1.0, n)))
+    eval_[0] = 0.0
+    X = np.vstack([np.ones((1, n)), rng.normal(size=(c - 1, n))])
+    D_l = rng.uniform(0.05, 3.0, size=(B, d))
+
+    Qi, logdet = core.calc_qi(jnp.asarray(eval_), jnp.asarray(D_l),
+                              jnp.asarray(X))
+    assert Qi.shape == (B, c * d, c * d)
+
+    for b in range(B):
+        Q = np.zeros((c * d, c * d))
+        for l in range(d):
+            w = 1.0 / (D_l[b, l] * eval_ + 1.0)
+            blk = (X * w) @ X.T
+            Q[l::d, l::d] = blk
+        np.testing.assert_allclose(np.asarray(Qi[b]), np.linalg.inv(Q),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(float(logdet[b]),
+                                   np.linalg.slogdet(Q)[1], rtol=1e-10)
