@@ -3,6 +3,7 @@
   python scripts/perf_round3.py eigen20k   # n=20k kinship+eigen e2e
   python scripts/perf_round3.py parity6k   # f32 D&C vs f64 host p-values at n=6144
   python scripts/perf_round3.py mvlmm_lrt  # mvLMM -lmm 2 e2e throughput
+  python scripts/perf_round3.py gxe        # -lmm 1 -gxe e2e throughput
 
 Each subcommand prints one JSON line for PERF.md.
 """
@@ -114,6 +115,38 @@ def mvlmm_lrt():
                       "sec": round(t, 1), "snps": n_out}))
 
 
+def gxe():
+    """Univariate GxE interaction (-lmm 1 -gxe) end-to-end at the
+    mouse protocol shape — the reference runs the same per-SNP
+    Brent/Newton loop with an extra covariate (lmm.cpp:2283-2540), so
+    any device fan-out beats it; this records the actual number."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _synth_mouse
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import batch_run
+
+    with tempfile.TemporaryDirectory() as td:
+        geno, pheno = _synth_mouse(td, n=1940, p=12226, seed=2)
+        env_file = os.path.join(td, "env.txt")
+        rng = np.random.default_rng(9)
+        with open(env_file, "w") as fh:
+            for v in rng.binomial(1, 0.5, 1940):
+                fh.write(f"{v}\n")
+        common = f"-g {geno} -p {pheno} -outdir {td} -no-check"
+        batch_run(parse_args((common + " -gk -o K").split()))
+        k = f"-k {td}/K.cXX.txt -gxe {env_file}"
+        batch_run(parse_args(
+            (common + f" {k} -lmm 1 -o W").split()))        # warm
+        t0 = time.time()
+        batch_run(parse_args((common + f" {k} -lmm 1 -o A").split()))
+        t = time.time() - t0
+        with open(f"{td}/A.assoc.txt") as fh:
+            n_out = sum(1 for _ in fh) - 1
+    print(json.dumps({"gxe_snps_per_sec": round(n_out / t, 1),
+                      "sec": round(t, 1), "snps": n_out}))
+
+
 if __name__ == "__main__":
     {"eigen20k": eigen20k, "parity6k": parity6k,
-     "mvlmm_lrt": mvlmm_lrt}[sys.argv[1]]()
+     "mvlmm_lrt": mvlmm_lrt, "gxe": gxe}[sys.argv[1]]()
