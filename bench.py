@@ -30,6 +30,15 @@ import time
 
 import numpy as np
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var (CLAUDE.md);
+# honour GEMMA_TPU_PLATFORM/JAX_PLATFORMS through the config API so a
+# CPU smoke run never blocks on an unreachable TPU tunnel.
+_plat = os.environ.get("GEMMA_TPU_PLATFORM") or os.environ.get(
+    "JAX_PLATFORMS")
+if _plat:
+    import jax as _jax
+    _jax.config.update("jax_platforms", _plat)
+
 BASELINE_SNPS_PER_SEC = 1285.0
 # mvLMM 2-phenotype e2e reference: 47.6 s for 10,775 SNPs at n=757
 # (releases.org:42-54) ≈ 226 SNPs/s
