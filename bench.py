@@ -117,7 +117,31 @@ def bench_e2e():
     return t_gk, t_lmm, n_out
 
 
+def _probe_backend(timeout_s: int = 300) -> None:
+    """Fail fast (instead of hanging forever) when the TPU backend is
+    unreachable: the axon plugin's client init blocks indefinitely in
+    the C++ layer during tunnel outages, where no Python-level timeout
+    can fire — so probe `jax.devices()` in a disposable subprocess
+    first and exit with a clear message if it never comes up."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return
+        msg = r.stderr.decode(errors="replace")[-400:]
+    except subprocess.TimeoutExpired:
+        msg = f"jax.devices() still blocked after {timeout_s}s"
+    print(json.dumps({"metric": "univariate_lmm_wald_snps_per_sec_per_chip",
+                      "value": None, "unit": "SNPs/s", "vs_baseline": None,
+                      "error": f"backend unreachable: {msg}"}))
+    sys.exit(1)
+
+
 def main():
+    if not os.environ.get("GEMMA_TPU_PLATFORM"):
+        _probe_backend()
     import jax
     import jax.numpy as jnp
     from gemma_tpu.models.lmm.engine import assoc_block_impl
