@@ -140,7 +140,11 @@ def _probe_backend(timeout_s: int = 300) -> None:
 
 
 def main():
-    if not os.environ.get("GEMMA_TPU_PLATFORM"):
+    # _plat covers GEMMA_TPU_PLATFORM *and* JAX_PLATFORMS — either one
+    # already routed jax.config away from the axon client, so the
+    # tunnel probe is both unnecessary and (during an outage) a 300 s
+    # hang-then-exit for a run that would have worked on CPU.
+    if not _plat:
         _probe_backend()
     import jax
     import jax.numpy as jnp

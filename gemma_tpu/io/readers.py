@@ -109,14 +109,17 @@ def read_matrix_sidecar(path: str) -> np.ndarray | None:
         with open(bin_path, "rb") as fh:
             if fh.read(8) != b"GTPUMAT1":
                 return None
-            r, c, size, mtime = struct.unpack("<qqqq", fh.read(32))
+            hdr = fh.read(32)
+            if len(hdr) != 32:          # truncated header
+                return None
+            r, c, size, mtime = struct.unpack("<qqqq", hdr)
             if st.st_size != size or st.st_mtime_ns != mtime:
                 return None
             M = np.fromfile(fh, "<f8", r * c)
         if M.size != r * c:
             return None
         return M.reshape(r, c)
-    except OSError:
+    except (OSError, struct.error, ValueError):
         return None
 
 

@@ -29,16 +29,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def center_genotype_block(raw, scale: bool):
+def center_genotype_block(raw, scale: bool, n_total: int | None = None):
     """Impute/center (optionally standardize) a (block, n) dosage block.
 
     `raw` holds dosages with NaN for missing.  Returns the centered
     block plus a per-SNP validity mask is NOT needed here — QC happens
     upstream; rows already excluded are passed as all-NaN and come out
     as zeros, contributing nothing to K.
+
+    `n_total` overrides the individual count used by the GEMMA variance
+    formula: callers that pad the individual axis with all-missing
+    columns (the 2-D mesh path) must pass the TRUE n, else the padded
+    columns count into n_total/n_miss and skew every SNP's
+    standardization by sqrt(n/n_pad).
     """
     miss = jnp.isnan(raw)
-    n_total = raw.shape[1]
+    if n_total is None:
+        n_total = raw.shape[1]
     n_obs = jnp.sum(~miss, axis=1)
     n_obs_safe = jnp.maximum(n_obs, 1)
     g0 = jnp.where(miss, 0.0, raw)

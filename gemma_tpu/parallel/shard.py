@@ -119,7 +119,7 @@ def assoc_pipeline(mesh: Mesh, n_cvt: int, mode: int,
 
 
 @functools.lru_cache(maxsize=None)
-def kinship_2d_pipeline(mesh: Mesh, scale: bool):
+def kinship_2d_pipeline(mesh: Mesh, scale: bool, n_total: int | None = None):
     """2-D (snp × ind) kinship accumulation: K itself is row-sharded
     over the "ind" axis so the n×n accumulator never has to fit one
     chip's HBM (the n-axis scaling plan, SURVEY §5.7) — each device
@@ -134,14 +134,17 @@ def kinship_2d_pipeline(mesh: Mesh, scale: bool):
     .bed wire) or float with NaN.  n and S must divide the respective
     mesh axis sizes; run_gk pads n with all-missing columns (they
     center to exact zeros and the driver slices them off) and S with
-    all-missing rows.
+    all-missing rows.  `n_total` is the TRUE individual count (pre-
+    padding) fed to the GEMMA variance formula — without it, -gk 2
+    would standardize against n_pad.
     """
 
     def local_update(K, raw):
         # K local: (n/ind, n); raw local: (S/snp, n)
         if jnp.issubdtype(raw.dtype, jnp.integer):
             raw = jnp.where(raw < 0, jnp.nan, raw.astype(K.dtype))
-        x = center_genotype_block(raw.astype(K.dtype), scale)
+        x = center_genotype_block(raw.astype(K.dtype), scale,
+                                  n_total=n_total)
         i = jax.lax.axis_index("ind")
         rows = jax.lax.dynamic_slice_in_dim(
             x, i * K.shape[0], K.shape[0], axis=1)     # (S/snp, n/ind)

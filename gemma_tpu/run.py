@@ -132,7 +132,7 @@ def _gk_accumulate_2d(cfg: GemmaConfig, ds: Dataset, dtype, mesh,
     k_shard = NamedSharding(mesh, P("ind", None))
     K = jax.jit(lambda: jnp.zeros((n_pad, n_pad), dtype),
                 out_shardings=k_shard)()
-    update = kinship_2d_pipeline(mesh, scale)
+    update = kinship_2d_pipeline(mesh, scale, n_total=n)
     use_i8 = hasattr(ds.geno, "block_i8")
     wire = np.float32 if jnp.dtype(dtype) == jnp.float32 else np.float64
     idx = np.flatnonzero(mask)

@@ -80,6 +80,23 @@ def test_gk_2d_cli_equality_and_shard_shapes(tmp_path, _mesh_env):
         np.testing.assert_allclose(gv, rv, atol=1e-6)
 
 
+def test_gk_2d_standardized_padded_n(tmp_path, _mesh_env):
+    """-gk 2 with n NOT divisible by the ind axis: the variance
+    formula must use the true n, not n_pad (ADVICE r3 high: pad
+    columns counting into n_total/n_miss skewed every SNP's
+    standardization by sqrt(n/n_pad))."""
+    geno, pheno = _synth(tmp_path, n=30, p=64, seed=3)
+    out = str(tmp_path)
+    base = f"-g {geno} -p {pheno} -outdir {out} -precision float64"
+    batch_run(parse_args(f"{base} -gk 2 -o ref".split()))
+    _mesh_env("snp=2,ind=4")
+    batch_run(parse_args(f"{base} -gk 2 -o m2d".split()))
+    assert run_mod._LAST_GK_2D["n_pad"] == 32
+    K_ref = np.loadtxt(str(tmp_path / "ref.sXX.txt"))
+    K_2d = np.loadtxt(str(tmp_path / "m2d.sXX.txt"))
+    np.testing.assert_allclose(K_2d, K_ref, atol=1e-8)
+
+
 def test_gk_2d_standardized_and_exact_divide(tmp_path, _mesh_env):
     """-gk 2 (standardized) on a mesh where n divides the ind axis."""
     geno, pheno = _synth(tmp_path, n=32, p=64, seed=1)
