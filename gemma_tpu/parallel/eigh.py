@@ -24,6 +24,24 @@ instead of recompiling for every dataset's split ranks.
 
 Host-side recursion, device-side math; factors never cross the
 host<->device tunnel (measured ~1-4 MB/s device->host on axon).
+
+Sharded mode (`shard=`NamedSharding over the row axis) memory
+contract, per allocation:
+
+  * the operand, the sign iterates, the projector, the random probe
+    and its products, the padded split bases, and the assembled
+    factors are all born inside jitted programs with explicit
+    with_sharding_constraint pins (the Gaussian probe is generated
+    partitioned — jax_threefry_partitionable);
+  * projected sub-blocks V'AV leave their program ALREADY row-sharded
+    and marker-padded (`_project_pad_marked_jit` constrains the
+    contraction output, so XLA emits a reduce-scatter rather than
+    materialising a replicated (k, k) block);
+  * the only replicated objects are ≤max(min_block, 512) leaves and
+    (k, k) Gram matrices inside CholeskyQR2.
+
+tests/test_eigh_dc.py::test_eigh_sharded_keeps_partitions and
+tests/test_memory_true.py enforce this.
 """
 
 from __future__ import annotations
@@ -41,6 +59,10 @@ _BUCKET = 512
 
 def _bucket(k: int) -> int:
     return max(_BUCKET, -(-k // _BUCKET) * _BUCKET)
+
+
+def _pin(x, shard):
+    return jax.lax.with_sharding_constraint(x, shard) if shard else x
 
 
 def _leaf_eigh(A):
@@ -63,10 +85,10 @@ def _leaf_eigh(A):
     return w[:k], U[:k, :k]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "shard"))
-def _sign_ns_jit(M, max_iter: int = 80, shard=None):
-    """Scaled Newton-Schulz S <- 1.5 S - 0.5 S^3 for the matrix sign
-    of symmetric M; three n^2 live buffers, pure MXU matmuls.
+def _ns_loop(S0, eye, m, max_iter, pin):
+    """Scaled Newton-Schulz S <- 1.5 S - 0.5 S^3 body shared by
+    _sign_ns_jit and _projector_jit; `pin` keeps every while_loop
+    iterate row-sharded.
 
     Full-f32 matmul precision is essential: TPU f32 matmuls default to
     bf16 multiplies (~8 mantissa bits), which cannot resolve the
@@ -74,15 +96,38 @@ def _sign_ns_jit(M, max_iter: int = 80, shard=None):
     projector defect 0.15 at n=10k under the default vs 8e-6 at full
     precision.
 
-    `shard` (a NamedSharding, static) pins every while_loop iterate
-    row-sharded over the mesh — without the constraint GSPMD is free
-    to replicate the loop carry, and three replicated n² buffers is
-    exactly what the n-axis scale-out exists to avoid."""
+    Convergence of the NORMALIZED Frobenius defect ||S^2-I||_F/sqrt(m)
+    is size-independent; scaling the tolerance with m (a factor 10^4
+    at n=10k f32) lets barely-converged projectors through and costs
+    two digits of eigenvector accuracy."""
+    dtype = S0.dtype
+    tol = 40 * jnp.finfo(dtype).eps
+    hp = jax.lax.Precision.HIGHEST
+
+    def cond(carry):
+        S, err, t = carry
+        return (t < max_iter) & (err > tol)
+
+    def body(carry):
+        S, _, t = carry
+        S2 = pin(jnp.matmul(S, S, precision=hp))
+        S_new = pin(1.5 * S - 0.5 * jnp.matmul(S2, S, precision=hp))
+        err = jnp.linalg.norm(S2 - eye) / jnp.sqrt(jnp.asarray(m, dtype))
+        return S_new, err, t + 1
+
+    S, _, _ = jax.lax.while_loop(
+        cond, body, (S0, jnp.asarray(jnp.inf, dtype), 0))
+    return S
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "shard"))
+def _sign_ns_jit(M, max_iter: int = 80, shard=None):
+    """Matrix sign of symmetric M via scaled Newton-Schulz; three n^2
+    live buffers, pure MXU matmuls.  `shard` (static) pins every
+    while_loop iterate row-sharded over the mesh — without the
+    constraint GSPMD is free to replicate the loop carry."""
     m = M.shape[0]
-
-    def pin(x):
-        return jax.lax.with_sharding_constraint(x, shard) if shard else x
-
+    pin = functools.partial(_pin, shard=shard)
     M = pin(M)
     norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(M), axis=1)),
                        jnp.finfo(M.dtype).tiny)
@@ -90,28 +135,35 @@ def _sign_ns_jit(M, max_iter: int = 80, shard=None):
     # drift cannot push iterates into the divergent |x| > sqrt(3) zone
     S0 = pin(M / (1.01 * norm))
     eye = jnp.eye(m, dtype=M.dtype)
-    # convergence of the NORMALIZED Frobenius defect ||S^2-I||_F/sqrt(m)
-    # is size-independent; scaling the tolerance with m (a factor 10^4
-    # at n=10k f32) lets barely-converged projectors through and costs
-    # two digits of eigenvector accuracy
-    tol = 40 * jnp.finfo(M.dtype).eps
+    return _ns_loop(S0, eye, m, max_iter, pin)
 
-    def cond(carry):
-        S, err, t = carry
-        return (t < max_iter) & (err > tol)
 
-    hp = jax.lax.Precision.HIGHEST
+@functools.partial(jax.jit, static_argnames=("max_iter", "shard"))
+def _projector_jit(A, sigma, max_iter: int = 80, shard=None):
+    """P = (sign(A - sigma I) + I)/2 in ONE program: the shift, the
+    sign iteration and the projector all stay pinned — no eager
+    jnp.eye / eager arithmetic ever materialises an unconstrained n²
+    buffer on the default device (round-4 memory-trueness fix)."""
+    m = A.shape[0]
+    pin = functools.partial(_pin, shard=shard)
+    A = pin(A)
+    eye = jnp.eye(m, dtype=A.dtype)
+    M = pin(A - sigma * eye)
+    norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(M), axis=1)),
+                       jnp.finfo(M.dtype).tiny)
+    S0 = pin(M / (1.01 * norm))
+    S = _ns_loop(S0, eye, m, max_iter, pin)
+    return pin(0.5 * (S + eye))
 
-    def body(carry):
-        S, _, t = carry
-        S2 = pin(jnp.matmul(S, S, precision=hp))
-        S_new = pin(1.5 * S - 0.5 * jnp.matmul(S2, S, precision=hp))
-        err = jnp.linalg.norm(S2 - eye) / jnp.sqrt(jnp.asarray(m, M.dtype))
-        return S_new, err, t + 1
 
-    S, _, _ = jax.lax.while_loop(
-        cond, body, (S0, jnp.asarray(jnp.inf, M.dtype), 0))
-    return S
+@functools.partial(jax.jit, static_argnames=("shard",))
+def _split_quality_jit(Pproj, shard=None):
+    """(trace, idempotency defect ||P²-P||_F) in one pinned program —
+    the split-acceptance statistics, without eager n² arithmetic."""
+    pin = functools.partial(_pin, shard=shard)
+    Pproj = pin(Pproj)
+    P2 = pin(jnp.matmul(Pproj, Pproj, precision=jax.lax.Precision.HIGHEST))
+    return jnp.trace(Pproj), jnp.linalg.norm(P2 - Pproj)
 
 
 def _sign_newton_schulz(M, max_iter: int = 80, shard=None):
@@ -129,10 +181,16 @@ def _sign_newton_schulz(M, max_iter: int = 80, shard=None):
 
 
 def _polar_projector(A, sigma, shard=None):
-    """P projecting onto the eigenspace of A with eigenvalues > sigma."""
+    """P projecting onto the eigenspace of A with eigenvalues > sigma.
+
+    Sharded mode requires the operand already bucket-aligned (the
+    sharded recursion maintains n % 512 == 0) and runs the fused
+    pinned program; the replicated path keeps the bucketed-sign
+    composition."""
     n = A.shape[0]
-    S = _sign_newton_schulz(A - sigma * jnp.eye(n, dtype=A.dtype),
-                            shard=shard)
+    if shard is not None:
+        return _projector_jit(A, jnp.asarray(sigma, A.dtype), shard=shard)
+    S = _sign_newton_schulz(A - sigma * jnp.eye(n, dtype=A.dtype))
     return 0.5 * (S + jnp.eye(n, dtype=A.dtype))
 
 
@@ -168,10 +226,7 @@ def _cholqr2_jit(Y, shard=None):
     condition ~(√n+√k)/(√n−√k) = O(1), far inside CholeskyQR2's
     stability region."""
     hp = jax.lax.Precision.HIGHEST
-
-    def pin(x):
-        return jax.lax.with_sharding_constraint(x, shard) if shard else x
-
+    pin = functools.partial(_pin, shard=shard)
     Y = pin(Y)
     for _ in range(2):
         G = jnp.matmul(Y.T, Y, precision=hp)          # (k, k) replicated
@@ -179,6 +234,21 @@ def _cholqr2_jit(Y, shard=None):
         Y = pin(jax.lax.linalg.triangular_solve(
             L, Y, left_side=False, lower=True, transpose_a=True))
     return Y
+
+
+@functools.partial(jax.jit, static_argnames=("shard",))
+def _probe_jit(Pproj, key, shard=None):
+    """Random range-finding products (PG, G - PG) in one pinned
+    program.  The Gaussian probe G is GENERATED under the sharding
+    constraint — with partitionable threefry (JAX default) each device
+    materialises only its row shard; PG and G-PG carry the same pin.
+    Round-4 fix: the previous eager jax.random.normal(key, (n, n))
+    landed three unconstrained n² tensors on the default device."""
+    pin = functools.partial(_pin, shard=shard)
+    Pproj = pin(Pproj)
+    G = pin(jax.random.normal(key, Pproj.shape, Pproj.dtype))
+    PG = pin(jnp.matmul(Pproj, G, precision=jax.lax.Precision.HIGHEST))
+    return PG, pin(G - PG)
 
 
 def _split_basis(Pproj, k, key, shard=None):
@@ -189,68 +259,120 @@ def _split_basis(Pproj, k, key, shard=None):
     swaps Householder QR for CholeskyQR2 (see _cholqr2_jit) so the
     (n, k) factors stay row-partitioned."""
     n = Pproj.shape[0]
-    G = jax.random.normal(key, (n, n), Pproj.dtype)
-    # full precision: V1 must span range(P) to f32 accuracy, and the
-    # defect check upstream relies on the same fidelity
-    PG = jnp.matmul(Pproj, G, precision=jax.lax.Precision.HIGHEST)
+    PG, Gm = _probe_jit(Pproj, key, shard=shard)
     if shard is not None:
         V1 = (_cholqr2_jit(PG[:, :k], shard=shard) if k > 0
               else jnp.zeros((n, 0), Pproj.dtype))
-        V2 = (_cholqr2_jit((G - PG)[:, :n - k], shard=shard) if n - k > 0
+        V2 = (_cholqr2_jit(Gm[:, :n - k], shard=shard) if n - k > 0
               else jnp.zeros((n, 0), Pproj.dtype))
         return V1, V2
     V1 = (_qr_bucketed(PG, k) if k > 0
           else jnp.zeros((n, 0), Pproj.dtype))
-    V2 = (_qr_bucketed(G - PG, n - k) if n - k > 0
+    V2 = (_qr_bucketed(Gm, n - k) if n - k > 0
           else jnp.zeros((n, 0), Pproj.dtype))
     return V1, V2
 
 
-@functools.partial(jax.jit, static_argnames=("shard",))
-def _project_jit(A, Vp, shard=None):
+@jax.jit
+def _project_jit(A, Vp):
     hp = jax.lax.Precision.HIGHEST
-    if shard is not None:
-        A = jax.lax.with_sharding_constraint(A, shard)
-        Vp = jax.lax.with_sharding_constraint(Vp, shard)
     B = jnp.matmul(A, Vp, precision=hp)
-    # (k, k) result: contraction over the sharded rows → replicated
     return jnp.matmul(Vp.T, B, precision=hp)
 
 
-def _project_bucketed(A, V, shard=None):
+def _project_bucketed(A, V):
     """V' A V computed at fully bucketed shapes (both operands
-    zero-padded; the pads contribute exact zeros, sliced off)."""
+    zero-padded; the pads contribute exact zeros, sliced off).
+    Replicated path only — the sharded recursion uses
+    _project_pad_marked_jit."""
     n, k = V.shape
     nb, kb = _bucket(n), _bucket(k)
     if nb == n and kb == k:
-        return _project_jit(A, V, shard=shard)
+        return _project_jit(A, V)
     Ap = jnp.zeros((nb, nb), A.dtype)
     Ap = Ap.at[:n, :n].set(A)
     Vp = jnp.zeros((nb, kb), V.dtype)
     Vp = Vp.at[:n, :k].set(V)
-    return _project_jit(Ap, Vp, shard=shard)[:k, :k]
+    return _project_jit(Ap, Vp)[:k, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("kb", "shard"))
+def _project_pad_marked_jit(A, V, kb: int, shard=None):
+    """Sharded projection V' A V emitted DIRECTLY as a row-sharded,
+    marker-padded (kb, kb) operand ready for recursion:
+
+      * V (n, k) is zero-padded to (n, kb) under the pin (pads
+        contribute exact zero rows/cols to the product);
+      * the contraction over the sharded row axis carries an output
+        sharding constraint, so XLA reduce-scatters instead of
+        materialising a replicated (kb, kb) block — at the top split
+        that block is (n/2)², the buffer class the round-3 verdict
+        flagged;
+      * pad diagonal entries are set to a marker strictly above the
+        sub-block's spectrum (blockdiag decouples: the recursion's
+        ascending output puts markers last, caller slices [:k]).
+    """
+    n, k = V.shape
+    hp = jax.lax.Precision.HIGHEST
+    pin = functools.partial(_pin, shard=shard)
+    A = pin(A)
+    Vp = pin(jnp.zeros((n, kb), V.dtype).at[:, :k].set(V))
+    B = pin(jnp.matmul(A, Vp, precision=hp))             # (n, kb)
+    Asub = jnp.matmul(Vp.T, B, precision=hp)             # (kb, kb)
+    Asub = pin(Asub)
+    c_hi = 2.0 * jnp.max(jnp.sum(jnp.abs(Asub), axis=1)) + 1.0
+    idx = jnp.arange(kb)
+    marker = (idx[:, None] == idx[None, :]) & (idx[:, None] >= k)
+    return pin(jnp.where(marker, c_hi, Asub))
+
+
+@functools.partial(jax.jit, static_argnames=("kb", "shard"))
+def _assemble_sharded_jit(V, Ucols, kb: int, shard=None):
+    """V @ U for the sharded recursion: V (n, k) zero-padded to
+    (n, kb) under the pin, times Ucols (kb, k) — the zero pad rows of
+    Vp annihilate the marker coordinates exactly, so no row slicing of
+    the (possibly sharded) sub-factor is needed.  Output (n, k) stays
+    row-sharded."""
+    n, k = V.shape
+    pin = functools.partial(_pin, shard=shard)
+    Vp = pin(jnp.zeros((n, kb), V.dtype).at[:, :k].set(V))
+    return pin(jnp.matmul(Vp, Ucols, precision=jax.lax.Precision.HIGHEST))
 
 
 @functools.partial(jax.jit, static_argnames=("shard",))
-def _assemble_jit(V, U, shard=None):
-    if shard is not None:
-        V = jax.lax.with_sharding_constraint(V, shard)
-    out = jnp.matmul(V, U, precision=jax.lax.Precision.HIGHEST)
-    return (jax.lax.with_sharding_constraint(out, shard)
-            if shard is not None else out)
+def _merge_order_jit(w2, w1, U2, U1, shard=None):
+    """Concatenate + sort the two half-spectra in one pinned program
+    (the eager concat/gather had no layout guarantee)."""
+    pin = functools.partial(_pin, shard=shard)
+    w = jnp.concatenate([w2, w1])
+    U = pin(jnp.concatenate([pin(U2), pin(U1)], axis=1))
+    order = jnp.argsort(w)
+    return w[order], pin(U[:, order])
 
 
-def _assemble_bucketed(V, U, shard=None):
-    """(n,k)(k,k) product at fully bucketed shapes."""
+@jax.jit
+def _assemble_jit(V, U):
+    return jnp.matmul(V, U, precision=jax.lax.Precision.HIGHEST)
+
+
+def _assemble_bucketed(V, U):
+    """(n,k)(k,k) product at fully bucketed shapes (replicated path)."""
     n, k = V.shape
     nb, kb = _bucket(n), _bucket(k)
     if nb == n and kb == k:
-        return _assemble_jit(V, U, shard=shard)
+        return _assemble_jit(V, U)
     Vp = jnp.zeros((nb, kb), V.dtype)
     Vp = Vp.at[:n, :k].set(V)
     Up = jnp.zeros((kb, kb), U.dtype)
     Up = Up.at[:k, :k].set(U)
-    return _assemble_jit(Vp, Up, shard=shard)[:n, :k]
+    return _assemble_jit(Vp, Up)[:n, :k]
+
+
+def _replicated(x, shard):
+    """Gather a sharded array to every device (small leaves only)."""
+    if shard is None:
+        return x
+    return jax.device_put(x, NamedSharding(shard.mesh, P()))
 
 
 def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
@@ -259,14 +381,15 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
     ascending, eigenvectors as columns), like jnp.linalg.eigh.
 
     `shard` (NamedSharding over the row axis) keeps every n²-sized
-    intermediate — the sign iterates, the projector, the random range
-    probes, the assembled factors — row-partitioned over the mesh;
-    only ≤min_block leaves and k×k Gram matrices are replicated."""
+    intermediate row-partitioned over the mesh (see module docstring
+    for the per-allocation contract); sharded callers must pass an
+    operand whose size is a 512 multiple divisible by the mesh axis —
+    eigh_sharded arranges that."""
     n = A.shape[0]
     if key is None:
         key = jax.random.PRNGKey(0)
     if n <= min_block or _depth > 40:
-        return _leaf_eigh(A)
+        return _leaf_eigh(_replicated(A, shard))
 
     def _split_rank(Pproj):
         """round(trace(P)) with quality checks.  A far-from-integer
@@ -275,15 +398,13 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
         stalled 0.5-directions keeps the trace integral but mixes the
         subspaces, silently corrupting the split) — treat as a failed
         split (None)."""
-        tr = float(jnp.trace(Pproj))
+        tr, defect = _split_quality_jit(Pproj, shard=shard)
+        tr, defect = float(tr), float(defect)
         if not np.isfinite(tr):
             return None
         k = int(np.clip(round(tr), 0, n))
         if abs(tr - k) > 0.45:
             return None
-        defect = float(jnp.linalg.norm(
-            jnp.matmul(Pproj, Pproj,
-                       precision=jax.lax.Precision.HIGHEST) - Pproj))
         if not np.isfinite(defect) or defect > 0.05:
             return None
         return k
@@ -306,43 +427,58 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
         Pproj = _polar_projector(A, sigma, shard=shard)
         k = _split_rank(Pproj)
         if debug:
-            tr = float(jnp.trace(Pproj))
-            dft = float(jnp.linalg.norm(
-                jnp.matmul(Pproj, Pproj,
-                           precision=jax.lax.Precision.HIGHEST) - Pproj))
-            print(f"eigh_dc n={n} sigma={sigma:.4g} tr={tr:.3f} "
-                  f"defect={dft:.3e} -> k={k}", flush=True)
+            tr, dft = _split_quality_jit(Pproj, shard=shard)
+            print(f"eigh_dc n={n} sigma={sigma:.4g} tr={float(tr):.3f} "
+                  f"defect={float(dft):.3e} -> k={k}", flush=True)
         if k is not None and 0 < k < n:
             break
     else:
         if debug:
             print(f"eigh_dc n={n}: all splits failed -> leaf", flush=True)
-        return _leaf_eigh(A)   # effectively degenerate block
+        return _leaf_eigh(_replicated(A, shard))   # degenerate block
 
     key, k1, k2, k3 = jax.random.split(key, 4)
     V1, V2 = _split_basis(Pproj, k, k1, shard=shard)
-    A1 = _project_bucketed(A, V1, shard=shard)
-    A2 = _project_bucketed(A, V2, shard=shard)
 
     if shard is not None:
-        # sub-blocks come back replicated (k×k Gram-sized); re-shard
-        # before recursing so every level keeps its n² objects
-        # partitioned.  Explicit shardings need mesh-divisible shapes,
-        # so pad to the 512-bucket with above-spectrum markers
-        # (_pad_marked) — markers split off exactly and are sliced
-        # away from the recursion's ascending-ordered output.
-        w1, U1 = _recurse_sharded(A1, min_block, k2, _depth + 1, shard)
-        w2, U2 = _recurse_sharded(A2, min_block, k3, _depth + 1, shard)
-    else:
-        w1, U1 = eigh_dc(A1, min_block, k2, _depth + 1)
-        w2, U2 = eigh_dc(A2, min_block, k3, _depth + 1)
+        w1, U1 = _branch_sharded(A, V1, min_block, k2, _depth, shard)
+        w2, U2 = _branch_sharded(A, V2, min_block, k3, _depth, shard)
+        return _merge_order_jit(w2, w1, U2, U1, shard=shard)
 
+    A1 = _project_bucketed(A, V1)
+    A2 = _project_bucketed(A, V2)
+    w1, U1 = eigh_dc(A1, min_block, k2, _depth + 1)
+    w2, U2 = eigh_dc(A2, min_block, k3, _depth + 1)
     w = jnp.concatenate([w2, w1])            # w2 below sigma, w1 above
     U = jnp.concatenate(
-        [_assemble_bucketed(V2, U2, shard=shard),
-         _assemble_bucketed(V1, U1, shard=shard)], axis=1)
+        [_assemble_bucketed(V2, U2),
+         _assemble_bucketed(V1, U1)], axis=1)
     order = jnp.argsort(w)
     return w[order], U[:, order]
+
+
+def _branch_sharded(A, V, min_block, key, depth, shard):
+    """One recursion branch of the sharded D&C: project to a row-
+    sharded marker-padded (kb, kb) sub-operand, recurse (sharded while
+    it stays large and mesh-divisible, replicated once it is leaf- or
+    Gram-sized), slice the markers, assemble back to (n, k) sharded."""
+    k = V.shape[1]
+    kb = _bucket(k)
+    msize = shard.mesh.shape[shard.spec[0]]
+    Asub = _project_pad_marked_jit(A, V, kb, shard=shard)
+    if kb > max(min_block, _BUCKET) and kb % msize == 0:
+        wp, Up = eigh_dc(Asub, min_block, key, depth + 1, shard=shard)
+    else:
+        # leaf/Gram-sized: replicate (kb² is KBs–MBs here) and recurse
+        # on the true block so the replicated path's bucketing applies
+        wp, Up = eigh_dc(_replicated(Asub, shard)[:k, :k], min_block,
+                         key, depth + 1)
+        return wp, _assemble_sharded_jit(
+            V, jnp.pad(Up, ((0, kb - k), (0, 0))), kb, shard=shard)
+    # ascending order puts the c_hi markers last; true vectors have
+    # support only in the first k coordinates and the zero pad rows of
+    # Vp annihilate the marker coordinates in the assembly
+    return wp[:k], _assemble_sharded_jit(V, Up[:, :k], kb, shard=shard)
 
 
 def _pad_marked(A):
@@ -355,6 +491,12 @@ def _pad_marked(A):
     kb = _bucket(k)
     if kb == k:
         return A, k
+    if isinstance(A, np.ndarray):
+        c_hi = 2.0 * np.max(np.sum(np.abs(A), axis=1)) + 1.0
+        Ap = np.zeros((kb, kb), A.dtype)
+        Ap[:k, :k] = A
+        Ap[np.arange(k, kb), np.arange(k, kb)] = c_hi
+        return Ap, k
     c_hi = 2.0 * jnp.max(jnp.sum(jnp.abs(A), axis=1)) + 1.0
     Ap = jnp.zeros((kb, kb), A.dtype)
     Ap = Ap.at[:k, :k].set(A)
@@ -362,58 +504,38 @@ def _pad_marked(A):
     return Ap, k
 
 
-def _recurse_sharded(Asub, min_block, key, depth, shard):
-    """Recurse on a replicated sub-block, re-sharding it (marker-
-    padded to a mesh-divisible size) when it is still large enough to
-    matter.  Blocks at or below max(min_block, _BUCKET) recurse
-    replicated: the marker padding rounds up to 512-multiples, so
-    re-sharding a small block would inflate every level of its
-    recursion to ≥512² sign iterations — far more work than the
-    replication it avoids (n² at these sizes is KBs, not GBs)."""
-    k = Asub.shape[0]
-    msize = shard.mesh.shape[shard.spec[0]]
-    if k > min_block and k % msize == 0:
-        # mesh-divisible: shard directly, no padding needed
-        return eigh_dc(jax.device_put(Asub, shard), min_block, key,
-                       depth, shard=shard)
-    if k <= max(min_block, _BUCKET):
-        return eigh_dc(Asub, min_block, key, depth)
-    Ap, k = _pad_marked(Asub)
-    if Ap.shape[0] % msize != 0:
-        return eigh_dc(Asub, min_block, key, depth)
-    Ap = jax.device_put(Ap, shard)
-    w, U = eigh_dc(Ap, min_block, key, depth, shard=shard)
-    # ascending order puts the c_hi markers last; true vectors have
-    # support only in the first k coordinates
-    return w[:k], U[:k, :k]
-
-
 def eigh_sharded(A, mesh: Mesh, min_block: int = 2048, axis=None):
     """eigh_dc with the matrix laid out row-sharded over one mesh axis
     (default: the mesh's last axis — "ind" on the 2-D kinship mesh).
 
-    Every n²-sized intermediate carries an explicit sharding
-    constraint (see eigh_dc/_sign_ns_jit/_cholqr2_jit): the sign
-    iterates stay partitioned through the while_loop, range finding
-    uses CholeskyQR2 instead of the non-partitionable Householder QR,
-    and recursion re-shards each sub-block (marker-padded to a
-    mesh-divisible size, see _pad_marked).  Only ≤min_block leaves and
-    k×k Gram matrices replicate.  Returns (w, U) with U row-sharded —
-    downstream rotations (U'W, U'y, x@U) consume it in place via
-    GSPMD.
+    `A` may be a HOST numpy array: it is then marker-padded on the
+    host and moved with jax.device_put under the target sharding,
+    which transfers shard-by-shard — the full matrix never stages on
+    a single device (round-4 fix for the run.py:349 staging hole; the
+    callers that already hold a device array keep their layout).
+
+    Every n²-sized intermediate is pinned inside a jitted program
+    (see the module docstring for the per-allocation contract); only
+    ≤max(min_block, 512) leaves and k×k Gram matrices replicate.
+    Returns (w, U) with U row-sharded — downstream rotations (U'W,
+    U'y, x@U) consume it in place via GSPMD.
     """
     axis = axis or mesh.axis_names[-1]
     sharding = NamedSharding(mesh, P(axis, None))
     msize = mesh.shape[axis]
-    if A.shape[0] % msize == 0:
-        # mesh-divisible input shards directly, no padding
-        A = jax.device_put(A, sharding)
-        return eigh_dc(A, min_block=min_block, shard=sharding)
-    Ap, k = _pad_marked(A)
-    if Ap.shape[0] % msize != 0 or A.shape[0] <= min_block:
-        # non-power-of-two mesh axes beyond the 512 bucket: replicated
-        # fallback (correct, just not partitioned)
-        return eigh_dc(A, min_block=min_block)
-    Ap = jax.device_put(Ap, sharding)
-    w, U = eigh_dc(Ap, min_block=min_block, shard=sharding)
+    n = A.shape[0]
+    nb = _bucket(n)
+    if nb % msize != 0 or n <= min_block:
+        # non-power-of-two mesh axes beyond the 512 bucket, or
+        # leaf-sized input: replicated fallback (correct, just not
+        # partitioned)
+        return eigh_dc(jnp.asarray(A), min_block=min_block)
+    # maintain the sharded-mode invariant n % 512 == 0 (ensures every
+    # downstream pad/shard shape is mesh-divisible without eager
+    # padding of sharded operands)
+    Ap, k = _pad_marked(np.asarray(A) if isinstance(A, np.ndarray) else A)
+    Ad = jax.device_put(Ap, sharding)
+    w, U = eigh_dc(Ad, min_block=min_block, shard=sharding)
+    if k == w.shape[0]:
+        return w, U
     return w[:k], U[:k, :k]

@@ -42,20 +42,46 @@ def _mesh_block_size(cfg: GemmaConfig, mesh) -> int:
     return -(-cfg.block_size // mesh.size) * mesh.size
 
 
-def _raw_wire_block(ds: Dataset, sel, size: int) -> np.ndarray:
+def _encode_wire(raw: np.ndarray, dtype) -> np.ndarray:
+    """Smallest exact wire encoding of a float dosage block for the
+    host→device link (measured ~47 MB/s through the axon tunnel — the
+    dominant e2e cost class at mouse scale):
+
+      * int8 with -1 missing when every non-missing dosage is a small
+        integer (hard calls — EXACT, so valid in float64 parity mode
+        too; 8x fewer bytes than float64);
+      * float32 in speed mode (the pipeline computes in f32 anyway);
+      * float64 only for fractional dosages in parity mode.
+    """
+    if raw.dtype == np.int8:
+        return raw
+    m = np.isnan(raw)
+    v = np.where(m, -1.0, raw)
+    as8 = v.astype(np.int8)
+    if ((as8 == v) & ((v >= 0.0) | m)).all():
+        return as8
+    if jnp.dtype(dtype) == jnp.float32:
+        return raw.astype(np.float32)
+    return raw.astype(np.float64)
+
+
+def _raw_wire_block(ds: Dataset, sel, size: int,
+                    dtype=jnp.float64) -> np.ndarray:
     """Unimputed (size, ni_test) genotype block in wire format: int8
-    with -1 missing for integral backends (.bed — 8x less tunnel
-    traffic), float64 with NaN otherwise.  Padding rows are zeros
-    (their stats are trimmed by the caller).  Imputation happens on
-    device inside the sharded pipeline (parallel/shard.py)."""
+    with -1 missing for integral dosages (.bed always; text files with
+    hard calls detected per block), float32/float64 with NaN otherwise
+    (see _encode_wire).  Padding rows are zeros (their stats are
+    trimmed by the caller).  Imputation happens on device inside the
+    sharded pipeline (parallel/shard.py)."""
     if hasattr(ds.geno, "block_i8"):
         raw = ds.geno.block_i8(sel)[:, ds.indicator_idv]
         if raw.shape[0] < size:
             raw = np.vstack([raw, np.zeros(
                 (size - raw.shape[0], raw.shape[1]), np.int8)])
         return raw
-    raw = ds.geno.block(sel)[:, ds.indicator_idv]
-    return _pad_block(raw.astype(np.float64), size, 0.0)
+    raw = _encode_wire(ds.geno.block(sel)[:, ds.indicator_idv], dtype)
+    fill = -1.0 if raw.dtype == np.int8 else 0.0
+    return _pad_block(raw, size, fill)
 
 
 def _device_imputed(ds: Dataset, sel, size: int, dtype):
@@ -73,6 +99,27 @@ def _device_imputed(ds: Dataset, sel, size: int, dtype):
         return impute_mean_i8(jnp.asarray(enc), dtype)
     block = _pad_block(impute_mean(raw).astype(np.float64), size, 0.0)
     return jnp.asarray(block, dtype=dtype)
+
+
+def _gather_stats(pending, names) -> dict:
+    """Assemble per-block device stat tuples into host arrays.
+
+    On accelerators: ONE device concat/stack program and ONE d2h
+    transfer (each small fetch through the axon tunnel pays a fixed
+    ~0.1 s; 8 fields × n_blocks of them used to dominate the -lmm opt
+    phase).  On the CPU backend the d2h is free and this image's
+    XLA:CPU aborts sporadically while loading extra eager executables
+    (see tests/conftest.py), so gather on the host instead."""
+    if not pending:
+        return {k: np.zeros(0) for k in names}
+    if jax.default_backend() == "cpu":
+        return {f: np.concatenate(
+            [np.asarray(getattr(st, f))[:k] for st, k in pending])
+            for f in names}
+    rows = [jnp.concatenate([getattr(st, f)[:k] for st, k in pending])
+            for f in names]
+    flat = np.asarray(jnp.stack(rows), np.float64)
+    return {f: flat[i] for i, f in enumerate(names)}
 
 
 def _pad_block(block: np.ndarray, size: int, fill: float) -> np.ndarray:
@@ -134,7 +181,6 @@ def _gk_accumulate_2d(cfg: GemmaConfig, ds: Dataset, dtype, mesh,
                 out_shardings=k_shard)()
     update = kinship_2d_pipeline(mesh, scale, n_total=n)
     use_i8 = hasattr(ds.geno, "block_i8")
-    wire = np.float32 if jnp.dtype(dtype) == jnp.float32 else np.float64
     idx = np.flatnonzero(mask)
     ns = 0
     for s in range(0, len(idx), bs):
@@ -143,8 +189,8 @@ def _gk_accumulate_2d(cfg: GemmaConfig, ds: Dataset, dtype, mesh,
             raw = ds.geno.block_i8(sel)
             fill = -1
         else:
-            raw = ds.geno.block(sel).astype(wire)
-            fill = np.nan
+            raw = _encode_wire(ds.geno.block(sel), dtype)
+            fill = -1 if raw.dtype == np.int8 else np.nan
         if raw.shape[0] < bs or n_pad > n:
             full = np.full((bs, n_pad), fill, raw.dtype)
             full[:raw.shape[0], :n] = raw
@@ -187,10 +233,12 @@ def _fetch_k_streamed(Kd, n: int, path: str | None):
 
     itemsize = jnp.dtype(Kd.dtype).itemsize
     total = n * (n + 1) // 2 * itemsize
-    # ~16 chunks saturate the transfer/format overlap; finer chunking
-    # only grows the program's output count
+    # chunking tuned to the measured tunnel: ~34 MB/s d2h with a fixed
+    # ~0.1-0.2 s cost per fetch — a handful of multi-MB chunks overlaps
+    # transfer with text formatting without paying per-fetch overhead
+    # 16 times
     bounds = triu_chunk_bounds(n, itemsize,
-                               target_bytes=max(1 << 20, total // 16))
+                               target_bytes=max(4 << 20, total // 8))
     chunks = pack_triu_chunks(Kd, bounds)
     for c in chunks:
         c.copy_to_host_async()
@@ -250,8 +298,10 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
                             (bs - raw.shape[0], raw.shape[1]), -1,
                             np.int8)])
                 else:
+                    raw = _encode_wire(ds.geno.block(sel), dtype)
                     raw = _pad_block(
-                        ds.geno.block(sel).astype(np.float64), bs, np.nan)
+                        raw, bs,
+                        -1 if raw.dtype == np.int8 else np.nan)
                 acc.update(raw, n_valid=len(sel))
             Kd = acc.finalize()
 
@@ -452,12 +502,25 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     nf = fit_null(eval_, UtW, Uty, trace_G, n_cvt,
                   l_min=cfg.l_min, l_max=cfg.l_max, n_region=cfg.n_region)
 
+    # one stacked fetch instead of six scalar device→host round-trips
+    # (each d2h through the axon tunnel carries a fixed ~0.1 s cost);
+    # CPU keeps plain fetches (no new executables, see _gather_stats)
+    if jax.default_backend() == "cpu":
+        _nv = [float(v) for v in (nf.logl_remle, nf.logl_mle, nf.pve,
+                                  nf.pve_se, nf.vg_remle, nf.ve_remle)]
+        _nb = [np.asarray(nf.beta_remle), np.asarray(nf.se_beta_remle)]
+    else:
+        _nv = np.asarray(jnp.stack([nf.logl_remle, nf.logl_mle, nf.pve,
+                                    nf.pve_se, nf.vg_remle,
+                                    nf.ve_remle]), np.float64)
+        _nb = np.asarray(jnp.stack([nf.beta_remle, nf.se_beta_remle]),
+                         np.float64)
     log.null_model = dict(
-        logl_remle_H0=float(nf.logl_remle), logl_mle_H0=float(nf.logl_mle),
-        pve_null=float(nf.pve), pve_se_null=float(nf.pve_se),
-        vg_remle_null=float(nf.vg_remle), ve_remle_null=float(nf.ve_remle),
-        beta_remle_null=np.asarray(nf.beta_remle).tolist(),
-        se_beta_remle_null=np.asarray(nf.se_beta_remle).tolist(),
+        logl_remle_H0=float(_nv[0]), logl_mle_H0=float(_nv[1]),
+        pve_null=float(_nv[2]), pve_se_null=float(_nv[3]),
+        vg_remle_null=float(_nv[4]), ve_remle_null=float(_nv[5]),
+        beta_remle_null=np.asarray(_nb[0]).tolist(),
+        se_beta_remle_null=np.asarray(_nb[1]).tolist(),
     )
 
     # gene-expression mode: each gene's expression is the response and
@@ -532,8 +595,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         return dict(null=nf, dataset=ds)
 
     idx = _assoc_snp_indices(ds)
-    stats = {k: [] for k in ("beta", "se", "lambda_remle", "lambda_mle",
-                             "p_wald", "p_lrt", "p_score", "logl_H1")}
+    stat_names = ("beta", "se", "lambda_remle", "lambda_mle",
+                  "p_wald", "p_lrt", "p_score", "logl_H1")
 
     mode = cfg.a_mode
     is_gxe = ds.gxe is not None
@@ -561,6 +624,11 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         assoc_fn = assoc_pipeline(mesh, n_cvt, mode, cfg.l_min,
                                   cfg.l_max, cfg.n_region)
     with log.timer.phase("opt"):
+        # per-block outputs stay ON DEVICE; the loop only dispatches,
+        # so block t+1's host prep overlaps block t's device work, and
+        # ONE stacked fetch at the end replaces 8×n_blocks small d2h
+        # round-trips (~0.1 s fixed cost each through the axon tunnel)
+        pending = []
         for s in range(0, len(idx), bs):
             sel = idx[s:s + bs]
             k = len(sel)
@@ -587,13 +655,11 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
                         [flip, np.zeros(bs - k, bool)])),
                     -st.beta, st.beta))
             else:
-                raw = _raw_wire_block(ds, sel, bs)
+                raw = _raw_wire_block(ds, sel, bs, dtype)
                 st = assoc_fn(eval_, UtW, Uty, U, raw,
                               nf.l_mle, nf.logl_mle)
-            for name in stats:
-                stats[name].append(np.asarray(getattr(st, name))[:k])
-    stats = {k: np.concatenate(v) if v else np.zeros(0)
-             for k, v in stats.items()}
+            pending.append((st, k))
+        stats = _gather_stats(pending, stat_names)
 
     # map SUMSTAT field names → output column names
     out_stats = dict(beta=stats["beta"], se=stats["se"],
@@ -766,7 +832,6 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
 
     mode = cfg.a_mode  # 51..54
     names = ("beta", "se", "p_wald", "p_lrt", "p_score")
-    stats = {k: [] for k in names}
     # SNP-sharded fan-out (lm.cpp:290-639's per-SNP loop as mesh-wide
     # batch): blocks rounded to the mesh, committed SNP-sharded
     mesh = default_mesh()
@@ -776,17 +841,15 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         from jax.sharding import NamedSharding, PartitionSpec as P
         lm_shard = NamedSharding(mesh, P("snp", None))
     with log.timer.phase("opt"):
+        pending = []
         for s in range(0, len(idx), bs):
             sel = idx[s:s + bs]
             xb = _device_imputed(ds, sel, bs, dtype)
             if lm_shard is not None:
                 xb = jax.device_put(xb, lm_shard)
             st = lm_block(W, y, xb, mode=mode)
-            k = len(sel)
-            for name in names:
-                stats[name].append(np.asarray(getattr(st, name))[:k])
-    stats = {k: np.concatenate(v) if v else np.zeros(0)
-             for k, v in stats.items()}
+            pending.append((st, len(sel)))
+        stats = _gather_stats(pending, names)
 
     ensure_outdir(cfg.path_out)
     rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
