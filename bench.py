@@ -82,12 +82,12 @@ def bench_mvlmm():
         # warm-up pass pays one-time compiles/program loads
         batch_run(parse_args(
             (common + f" {k} -lmm 1 -n 1 2 -o MW").split()))
-        # best-of-2: the axon tunnel shows intermittent multi-second
+        # best-of-3: the axon tunnel shows intermittent multi-second
         # stalls unrelated to steady-state throughput (PERF.md); the
         # min is the deployed-performance estimator (hyperfine-style)
         t_wald = min(_timed(batch_run, parse_args(
             (common + f" {k} -lmm 1 -n 1 2 -o MA").split()))
-            for _ in range(2))
+            for _ in range(3))
         with open(f"{td}/MA.assoc.txt") as fh:
             n_out = sum(1 for _ in fh) - 1
     return n_out / t_wald
@@ -113,13 +113,13 @@ def bench_e2e():
         batch_run(parse_args((common + " -gk -o W").split()))
         batch_run(parse_args(
             (common + f" -k {td}/W.cXX.txt -lmm 1 -o WA").split()))
-        # best-of-2 (see bench_mvlmm): tunnel stall noise vs steady state
+        # best-of-3 (see bench_mvlmm): tunnel stall noise vs steady state
         t_gk = min(_timed(batch_run,
                           parse_args((common + " -gk -o K").split()))
-                   for _ in range(2))
+                   for _ in range(3))
         t_lmm = min(_timed(batch_run, parse_args(
             (common + f" -k {td}/K.cXX.txt -lmm 1 -o A").split()))
-            for _ in range(2))
+            for _ in range(3))
         with open(f"{td}/A.assoc.txt") as fh:
             n_out = sum(1 for _ in fh) - 1
     return t_gk, t_lmm, n_out

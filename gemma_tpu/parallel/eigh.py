@@ -54,11 +54,19 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-_BUCKET = 512
+def _bucket_size() -> int:
+    """Compile-shape bucket (default 512).  GEMMA_TPU_EIGH_BUCKET
+    overrides — the memory-trueness CI shrinks it so the guard can
+    distinguish a replicated leaf from an n²-scale buffer at test
+    sizes; production keeps 512 (MXU-tile friendly, bounded compile
+    keys)."""
+    import os
+    return int(os.environ.get("GEMMA_TPU_EIGH_BUCKET", "512"))
 
 
 def _bucket(k: int) -> int:
-    return max(_BUCKET, -(-k // _BUCKET) * _BUCKET)
+    b = _bucket_size()
+    return max(b, -(-k // b) * b)
 
 
 def _pin(x, shard):
@@ -236,39 +244,51 @@ def _cholqr2_jit(Y, shard=None):
     return Y
 
 
-@functools.partial(jax.jit, static_argnames=("shard",))
-def _probe_jit(Pproj, key, shard=None):
+@functools.partial(jax.jit, static_argnames=("n_true", "shard"))
+def _probe_jit(Pproj, key, n_true: int | None = None, shard=None):
     """Random range-finding products (PG, G - PG) in one pinned
     program.  The Gaussian probe G is GENERATED under the sharding
     constraint — with partitionable threefry (JAX default) each device
     materialises only its row shard; PG and G-PG carry the same pin.
     Round-4 fix: the previous eager jax.random.normal(key, (n, n))
-    landed three unconstrained n² tensors on the default device."""
+    landed three unconstrained n² tensors on the default device.
+
+    `n_true` (marker-padded operands): rows ≥ n_true of G are zeroed,
+    so range finding happens WITHIN the true block — the returned
+    bases have exactly-zero marker coordinates and marker directions
+    never mix into projected sub-blocks (the alignment invariant the
+    sharded recursion depends on)."""
     pin = functools.partial(_pin, shard=shard)
     Pproj = pin(Pproj)
-    G = pin(jax.random.normal(key, Pproj.shape, Pproj.dtype))
+    G = jax.random.normal(key, Pproj.shape, Pproj.dtype)
+    if n_true is not None and n_true < Pproj.shape[0]:
+        mask = (jnp.arange(Pproj.shape[0]) < n_true)
+        G = G * mask[:, None].astype(G.dtype)
+    G = pin(G)
     PG = pin(jnp.matmul(Pproj, G, precision=jax.lax.Precision.HIGHEST))
     return PG, pin(G - PG)
 
 
-def _split_basis(Pproj, k, key, shard=None):
-    """Orthonormal bases (V1 (n,k), V2 (n,n-k)) of range(P) and its
-    complement via randomized range finding (exact for projectors).
-    The n×n products PG and G-PG keep compile shapes fixed per level;
-    only the bucketed QR sees the data-dependent rank.  Sharded mode
-    swaps Householder QR for CholeskyQR2 (see _cholqr2_jit) so the
-    (n, k) factors stay row-partitioned."""
+def _split_basis(Pproj, k, key, n_true=None, shard=None):
+    """Orthonormal bases (V1 (n,k), V2 (n,n_true-k)) of the true-block
+    range of P and its true-block complement via randomized range
+    finding (exact for projectors).  The n×n products PG and G-PG keep
+    compile shapes fixed per level; only the bucketed QR sees the
+    data-dependent rank.  Sharded mode swaps Householder QR for
+    CholeskyQR2 (see _cholqr2_jit) so the (n, k) factors stay
+    row-partitioned."""
     n = Pproj.shape[0]
-    PG, Gm = _probe_jit(Pproj, key, shard=shard)
+    nt = n if n_true is None else n_true
+    PG, Gm = _probe_jit(Pproj, key, n_true=n_true, shard=shard)
     if shard is not None:
         V1 = (_cholqr2_jit(PG[:, :k], shard=shard) if k > 0
               else jnp.zeros((n, 0), Pproj.dtype))
-        V2 = (_cholqr2_jit(Gm[:, :n - k], shard=shard) if n - k > 0
+        V2 = (_cholqr2_jit(Gm[:, :nt - k], shard=shard) if nt - k > 0
               else jnp.zeros((n, 0), Pproj.dtype))
         return V1, V2
     V1 = (_qr_bucketed(PG, k) if k > 0
           else jnp.zeros((n, 0), Pproj.dtype))
-    V2 = (_qr_bucketed(Gm, n - k) if n - k > 0
+    V2 = (_qr_bucketed(Gm, nt - k) if nt - k > 0
           else jnp.zeros((n, 0), Pproj.dtype))
     return V1, V2
 
@@ -375,8 +395,20 @@ def _replicated(x, shard):
     return jax.device_put(x, NamedSharding(shard.mesh, P()))
 
 
+def _leaf_sharded(A, n_true, shard):
+    """Leaf for a (possibly marker-padded) sharded block: replicate
+    the TRUE leading block, solve it, return true pairs with zero
+    marker coordinates (rows n_true.. of U) so assembly stays exact."""
+    n = A.shape[0]
+    At = _replicated(A, shard)[:n_true, :n_true]
+    w, Ut = _leaf_eigh(At)
+    if n_true == n:
+        return w, Ut
+    return w, jnp.pad(Ut, ((0, n - n_true), (0, 0)))
+
+
 def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
-            shard=None):
+            shard=None, n_true: int | None = None):
     """Spectral divide-and-conquer eigh.  Returns (eigenvalues
     ascending, eigenvectors as columns), like jnp.linalg.eigh.
 
@@ -384,32 +416,50 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
     intermediate row-partitioned over the mesh (see module docstring
     for the per-allocation contract); sharded callers must pass an
     operand whose size is a 512 multiple divisible by the mesh axis —
-    eigh_sharded arranges that."""
+    eigh_sharded arranges that.
+
+    `n_true` (sharded mode): the operand is blockdiag(A_true, c_hi I)
+    with n - n_true coordinate-ALIGNED markers strictly above the
+    spectrum.  The split is marker-aware: candidates come from the
+    true diagonal, the projector's trace is corrected by the marker
+    count, the probe is masked to the true block (so marker directions
+    never mix into sub-blocks — the alignment invariant), and the
+    sharded path returns ONLY the true pairs (w (n_true,),
+    U (n, n_true) with zero marker rows).  Without this, a true block
+    that cannot split (an exact eigenvalue cluster wider than the
+    bucket, e.g. a rank-deficient kinship's zero cluster) would peel
+    off only its own markers each level and recurse forever."""
     n = A.shape[0]
+    nt = n if n_true is None else n_true
+    n_mark = n - nt
     if key is None:
         key = jax.random.PRNGKey(0)
-    if n <= min_block or _depth > 40:
-        return _leaf_eigh(_replicated(A, shard))
+    if shard is not None and (nt <= min_block or _depth > 40):
+        return _leaf_sharded(A, nt, shard)
+    if shard is None and (n <= min_block or _depth > 40):
+        return _leaf_eigh(A)
 
     def _split_rank(Pproj):
-        """round(trace(P)) with quality checks.  A far-from-integer
-        trace OR a large idempotency defect ||P^2-P||_F means the sign
-        iteration stalled on eigenvalues at the split point (a pair of
-        stalled 0.5-directions keeps the trace integral but mixes the
-        subspaces, silently corrupting the split) — treat as a failed
-        split (None)."""
+        """round(trace(P) - n_markers) with quality checks.  Markers
+        sit above every candidate sigma, so they contribute exactly
+        n_mark to the trace and nothing to the idempotency defect.  A
+        far-from-integer trace OR a large defect ||P^2-P||_F means the
+        sign iteration stalled on eigenvalues at the split point (a
+        pair of stalled 0.5-directions keeps the trace integral but
+        mixes the subspaces, silently corrupting the split) — treat as
+        a failed split (None)."""
         tr, defect = _split_quality_jit(Pproj, shard=shard)
-        tr, defect = float(tr), float(defect)
+        tr, defect = float(tr) - n_mark, float(defect)
         if not np.isfinite(tr):
             return None
-        k = int(np.clip(round(tr), 0, n))
+        k = int(np.clip(round(tr), 0, nt))
         if abs(tr - k) > 0.45:
             return None
         if not np.isfinite(defect) or defect > 0.05:
             return None
         return k
 
-    diag = jnp.diag(A)
+    diag = jnp.diag(A)[:nt]
     lo, hi = float(jnp.min(diag)), float(jnp.max(diag))
     spread = max(hi - lo, 1e-30)
     k = None
@@ -428,22 +478,31 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
         k = _split_rank(Pproj)
         if debug:
             tr, dft = _split_quality_jit(Pproj, shard=shard)
-            print(f"eigh_dc n={n} sigma={sigma:.4g} tr={float(tr):.3f} "
-                  f"defect={float(dft):.3e} -> k={k}", flush=True)
-        if k is not None and 0 < k < n:
+            print(f"eigh_dc n={n} nt={nt} sigma={sigma:.4g} "
+                  f"tr={float(tr):.3f} defect={float(dft):.3e} -> k={k}",
+                  flush=True)
+        if k is not None and 0 < k < nt:
             break
     else:
         if debug:
-            print(f"eigh_dc n={n}: all splits failed -> leaf", flush=True)
-        return _leaf_eigh(_replicated(A, shard))   # degenerate block
+            print(f"eigh_dc n={n} nt={nt}: all splits failed -> leaf",
+                  flush=True)
+        # degenerate true block (e.g. one wide eigenvalue cluster)
+        if shard is not None:
+            return _leaf_sharded(A, nt, shard)
+        return _leaf_eigh(A)
 
     key, k1, k2, k3 = jax.random.split(key, 4)
-    V1, V2 = _split_basis(Pproj, k, k1, shard=shard)
+    V1, V2 = _split_basis(Pproj, k, k1, n_true=n_true, shard=shard)
 
     if shard is not None:
+        from gemma_tpu.utils.memguard import check as _mem_check
+        _mem_check(f"eigh_dc.split n={n} k={k}")
         w1, U1 = _branch_sharded(A, V1, min_block, k2, _depth, shard)
         w2, U2 = _branch_sharded(A, V2, min_block, k3, _depth, shard)
-        return _merge_order_jit(w2, w1, U2, U1, shard=shard)
+        out = _merge_order_jit(w2, w1, U2, U1, shard=shard)
+        _mem_check(f"eigh_dc.merge n={n}")
+        return out
 
     A1 = _project_bucketed(A, V1)
     A2 = _project_bucketed(A, V2)
@@ -461,24 +520,26 @@ def _branch_sharded(A, V, min_block, key, depth, shard):
     """One recursion branch of the sharded D&C: project to a row-
     sharded marker-padded (kb, kb) sub-operand, recurse (sharded while
     it stays large and mesh-divisible, replicated once it is leaf- or
-    Gram-sized), slice the markers, assemble back to (n, k) sharded."""
+    Gram-sized), assemble the TRUE pairs back to (n, k) sharded.  V
+    has exactly-zero marker rows (masked probe), so V' A V contains no
+    old-marker mixing and the new level's markers are again aligned."""
     k = V.shape[1]
     kb = _bucket(k)
     msize = shard.mesh.shape[shard.spec[0]]
+    if kb > max(min_block, _bucket_size()) and kb % msize == 0:
+        Asub = _project_pad_marked_jit(A, V, kb, shard=shard)
+        # sharded recursion returns true pairs only: wp (k,), Up
+        # (kb, k) with zero marker rows
+        wp, Up = eigh_dc(Asub, min_block, key, depth + 1, shard=shard,
+                         n_true=(None if kb == k else k))
+        return wp, _assemble_sharded_jit(V, Up, kb, shard=shard)
+    # leaf/Gram-sized: project at the true size, replicate (k² is
+    # KBs–MBs here) and recurse on the replicated path
     Asub = _project_pad_marked_jit(A, V, kb, shard=shard)
-    if kb > max(min_block, _BUCKET) and kb % msize == 0:
-        wp, Up = eigh_dc(Asub, min_block, key, depth + 1, shard=shard)
-    else:
-        # leaf/Gram-sized: replicate (kb² is KBs–MBs here) and recurse
-        # on the true block so the replicated path's bucketing applies
-        wp, Up = eigh_dc(_replicated(Asub, shard)[:k, :k], min_block,
-                         key, depth + 1)
-        return wp, _assemble_sharded_jit(
-            V, jnp.pad(Up, ((0, kb - k), (0, 0))), kb, shard=shard)
-    # ascending order puts the c_hi markers last; true vectors have
-    # support only in the first k coordinates and the zero pad rows of
-    # Vp annihilate the marker coordinates in the assembly
-    return wp[:k], _assemble_sharded_jit(V, Up[:, :k], kb, shard=shard)
+    wp, Up = eigh_dc(_replicated(Asub, shard)[:k, :k], min_block,
+                     key, depth + 1)
+    return wp, _assemble_sharded_jit(
+        V, jnp.pad(Up, ((0, kb - k), (0, 0))), kb, shard=shard)
 
 
 def _pad_marked(A):
@@ -530,12 +591,14 @@ def eigh_sharded(A, mesh: Mesh, min_block: int = 2048, axis=None):
         # leaf-sized input: replicated fallback (correct, just not
         # partitioned)
         return eigh_dc(jnp.asarray(A), min_block=min_block)
-    # maintain the sharded-mode invariant n % 512 == 0 (ensures every
-    # downstream pad/shard shape is mesh-divisible without eager
+    # maintain the sharded-mode invariant n % bucket == 0 (ensures
+    # every downstream pad/shard shape is mesh-divisible without eager
     # padding of sharded operands)
     Ap, k = _pad_marked(np.asarray(A) if isinstance(A, np.ndarray) else A)
     Ad = jax.device_put(Ap, sharding)
-    w, U = eigh_dc(Ad, min_block=min_block, shard=sharding)
-    if k == w.shape[0]:
+    w, U = eigh_dc(Ad, min_block=min_block, shard=sharding,
+                   n_true=(None if Ap.shape[0] == k else k))
+    # sharded mode returns TRUE pairs only (U rows beyond k are zero)
+    if k == U.shape[0]:
         return w, U
-    return w[:k], U[:k, :k]
+    return w, U[:k]

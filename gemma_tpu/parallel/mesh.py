@@ -141,9 +141,25 @@ def kinship_mesh(n_individuals: int, itemsize: int) -> Mesh | None:
         if b == 1:
             return None
         return make_mesh(a * b, axis_names=("snp", "ind"), shape=(a, b))
-    if n_dev < 2:
-        return None
     k_bytes = n_individuals * n_individuals * itemsize
+    if n_dev < 2:
+        enforce = (jax.default_backend() != "cpu"
+                   or "GEMMA_TPU_HBM_GB" in os.environ)
+        if 3 * k_bytes > hbm_bytes_per_chip() and enforce:
+            # fail fast with guidance instead of OOMing mid-run in the
+            # replicated path (the reference's enforce culture,
+            # debug.h:144-191): a single chip cannot hold the n² K
+            # working set this run needs
+            raise RuntimeError(
+                f"kinship working set (3×{n_individuals}²×{itemsize}B "
+                f"= {3 * k_bytes / (1 << 30):.1f} GiB) exceeds one "
+                f"chip's HBM ({hbm_bytes_per_chip() / (1 << 30):.1f} "
+                "GiB) and only one device is visible. Options: run on "
+                "a multi-chip slice (the 2-D snp×ind mesh shards K "
+                "automatically, or set GEMMA_TPU_MESH=snp=A,ind=B), "
+                "use float32 (-precision float32), or raise "
+                "GEMMA_TPU_HBM_GB if this chip has more memory.")
+        return None
     if 3 * k_bytes <= hbm_bytes_per_chip():
         return None
     # smallest power-of-two ind axis that fits 3 K-shards per chip

@@ -119,6 +119,53 @@ def assoc_pipeline(mesh: Mesh, n_cvt: int, mode: int,
 
 
 @functools.lru_cache(maxsize=None)
+def assoc_pipeline_2d(mesh: Mesh, n_cvt: int, mode: int,
+                      l_min: float = 1e-5, l_max: float = 1e5,
+                      n_region: int = 10):
+    """Association step for the 2-D (snp × ind) mesh, where U comes out
+    of the sharded eigendecomposition ROW-SHARDED over "ind" and must
+    never be all-gathered (at biobank n the replicated U is exactly the
+    n² buffer the n-axis scale-out exists to avoid — the 1-D
+    assoc_pipeline's in_spec P() would do that gather).
+
+    fn(eval, UtW, Uty, U, X_raw, l_mle_null, logl_mle_H0):
+      * X_raw (S, n) SNP-sharded (int8 −1-missing or float NaN),
+      * U (n, n) ind-sharded;
+      * rotation: each device contracts its U row block against its
+        SNP shard's matching columns, one psum over "ind" completes
+        U'x (GSPMD emits this from the constraints);
+      * Utx is then re-sharded over BOTH axes so the per-SNP
+        REML/Wald pipeline runs on S/(snp·ind) lanes per device (no
+        redundant compute across the ind axis);
+      * outputs come back sharded over ("snp", "ind") on the SNP axis.
+
+    jit + sharding constraints rather than shard_map: the layouts are
+    uneven-shape tolerant and GSPMD chooses the collective placement.
+    """
+    from jax.sharding import NamedSharding
+
+    snp_sh = NamedSharding(mesh, P("snp", None))
+    ind_sh = NamedSharding(mesh, P("ind", None))
+    both_sh = NamedSharding(mesh, P(("snp", "ind"), None))
+    out_sh = NamedSharding(mesh, P(("snp", "ind")))
+
+    def fn(eval_, UtW, Uty, U, X_raw, l_mle_null, logl_mle_H0):
+        x = impute_rows(X_raw, eval_.dtype)
+        x = jax.lax.with_sharding_constraint(x, snp_sh)
+        U = jax.lax.with_sharding_constraint(U, ind_sh)
+        Utx = jnp.matmul(x, U, preferred_element_type=eval_.dtype)
+        Utx = jax.lax.with_sharding_constraint(Utx, both_sh)
+        st = assoc_block_impl(
+            eval_, UtW, Uty, Utx, l_mle_null, logl_mle_H0,
+            n_cvt=n_cvt, mode=mode, l_min=l_min, l_max=l_max,
+            n_region=n_region)
+        return jax.tree.map(
+            lambda o: jax.lax.with_sharding_constraint(o, out_sh), st)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
 def kinship_2d_pipeline(mesh: Mesh, scale: bool, n_total: int | None = None):
     """2-D (snp × ind) kinship accumulation: K itself is row-sharded
     over the "ind" axis so the n×n accumulator never has to fit one
