@@ -16,6 +16,7 @@ NR refinement runs on a host-compacted sub-batch.
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 import jax
@@ -152,6 +153,22 @@ def _calc_p_block(eval_, X0, Y, x_block, Vg, Ve):
 # the surviving stragglers (f32 only; see _em_staged)
 _NR_SWITCH = 128
 
+# Compaction cost accounting (round-3 verdict #5): per-burst device
+# compute vs host-sync split, accumulated across all _em_staged calls
+# in the process (scripts/perf_round3.py reads it after an e2e run).
+EM_STATS = {"bursts": 0, "compute_s": 0.0, "sync_s": 0.0}
+# Post-first-burst layout of the EM carry, for the multichip test's
+# compute-sharding assertion (1-vs-8 equality alone cannot tell
+# whether the EM actually distributed).
+_LAST_BURST_SHARDING: dict = {}
+
+
+def _record_burst_sharding(x_act, Vg_act) -> None:
+    _LAST_BURST_SHARDING.clear()
+    for name, arr in (("x", x_act), ("Vg", Vg_act)):
+        sh = getattr(arr, "sharding", None)
+        _LAST_BURST_SHARDING[name] = str(getattr(sh, "spec", sh))
+
 
 def _em_staged(reml: bool, eval_, X0, Y, x_block, Vg_null, Ve_null,
                B_null, em_iter: int, em_prec: float,
@@ -214,11 +231,20 @@ def _em_staged(reml: bool, eval_, X0, Y, x_block, Vg_null, Ve_null,
             Vg_act, Ve_act, B_act, logl, done, BX_act = _em_burst_ml(
                 eval_, X0, Y, x_act, Vg_act, Ve_act, B_act, BX_act,
                 jnp.int32(it), em_iter, em_prec, first)
+        if first:
+            _record_burst_sharding(x_act, Vg_act)
         first = False
         spent += it
         burst = min(burst * 2, 512)
         k = len(active)
-        done_h = np.array(done[:k])
+        t0 = time.perf_counter()
+        done = jax.block_until_ready(done)      # device compute
+        t1 = time.perf_counter()
+        done_h = np.array(done[:k])             # host round-trip
+        t2 = time.perf_counter()
+        EM_STATS["bursts"] += 1
+        EM_STATS["compute_s"] += t1 - t0
+        EM_STATS["sync_s"] += t2 - t1
         if spent >= em_iter:
             done_h[:] = True
         fin = np.flatnonzero(done_h)

@@ -4,6 +4,7 @@
   python scripts/perf_round3.py parity6k   # f32 D&C vs f64 host p-values at n=6144
   python scripts/perf_round3.py mvlmm_lrt  # mvLMM -lmm 2 e2e throughput
   python scripts/perf_round3.py gxe        # -lmm 1 -gxe e2e throughput
+  python scripts/perf_round3.py hlc        # HLC-shape 4-pheno mvLMM protocol (round 4)
 
 Each subcommand prints one JSON line for PERF.md.
 """
@@ -105,6 +106,8 @@ def mvlmm_lrt():
         k = f"-k {td}/K.cXX.txt"
         batch_run(parse_args(
             (common + f" {k} -lmm 2 -n 1 2 -o W").split()))  # warm
+        from gemma_tpu.models.mvlmm import EM_STATS
+        EM_STATS.update(bursts=0, compute_s=0.0, sync_s=0.0)
         t0 = time.time()
         batch_run(parse_args(
             (common + f" {k} -lmm 2 -n 1 2 -o A").split()))
@@ -112,7 +115,10 @@ def mvlmm_lrt():
         with open(f"{td}/A.assoc.txt") as fh:
             n_out = sum(1 for _ in fh) - 1
     print(json.dumps({"mvlmm_lrt_snps_per_sec": round(n_out / t, 1),
-                      "sec": round(t, 1), "snps": n_out}))
+                      "sec": round(t, 1), "snps": n_out,
+                      "em_bursts": EM_STATS["bursts"],
+                      "em_compute_s": round(EM_STATS["compute_s"], 2),
+                      "em_sync_s": round(EM_STATS["sync_s"], 2)}))
 
 
 def gxe():
@@ -147,6 +153,57 @@ def gxe():
                       "sec": round(t, 1), "snps": n_out}))
 
 
+def hlc():
+    """HLC-shape synthetic stand-in for the reference's lengthy
+    protocol (test/lengthy_test_suite.sh:23-46): PLINK n=427, 4
+    phenotypes (`-n 1 2 3 15` from a 15-column pheno file, exercising
+    the general-d mvLMM path, not the 2x2 closed form), one continuous
+    covariate, `-maf 0.1`, ~223k analyzed SNPs.  The reference takes
+    ">30 minutes" for the -lmm step on its CI machine; this prints
+    the end-to-end wall and the implied margin."""
+    from synth_biobank import write_plink
+    from gemma_tpu.cli import parse_args
+    from gemma_tpu.run import batch_run
+
+    n, p = 427, 223243
+    td = tempfile.mkdtemp(prefix="perfhlc_")
+    prefix = os.path.join(td, "hlc")
+    # maf_lo=0.15 keeps (almost) every sampled-maf SNP above the 0.1
+    # filter at n=427, matching the protocol's 223,243 analyzed rows
+    write_plink(prefix, n, p, h2=0.5, seed=4, maf_lo=0.15)
+    rng = np.random.default_rng(4)
+    pheno = os.path.join(td, "pheno.txt")
+    base = rng.normal(size=n)
+    Y = 0.5 * base[:, None] + rng.normal(size=(n, 15))
+    with open(pheno, "w") as fh:
+        for row in Y:
+            fh.write("\t".join(f"{v:.6f}" for v in row) + "\n")
+    cvt = os.path.join(td, "cvt.txt")
+    with open(cvt, "w") as fh:
+        fh.writelines(f"{v:.4f}\n" for v in rng.normal(size=n))
+    common = f"-bfile {prefix} -outdir {td} -no-check"
+    t0 = time.time()
+    batch_run(parse_args((common + " -gk 2 -o K").split()))
+    t_gk = time.time() - t0
+    from gemma_tpu.models.mvlmm import EM_STATS
+    EM_STATS.update(bursts=0, compute_s=0.0, sync_s=0.0)
+    t0 = time.time()
+    batch_run(parse_args(
+        (common + f" -p {pheno} -k {td}/K.sXX.txt -lmm 1 -maf 0.1"
+         f" -n 1 2 3 15 -c {cvt} -o A").split()))
+    t_lmm = time.time() - t0
+    with open(f"{td}/A.assoc.txt") as fh:
+        n_out = sum(1 for _ in fh) - 1
+    print(json.dumps({
+        "n": n, "snps": n_out, "gk2_sec": round(t_gk, 1),
+        "mvlmm4_sec": round(t_lmm, 1),
+        "snps_per_sec": round(n_out / t_lmm, 1),
+        "margin_vs_30min": round(1800.0 / t_lmm, 1),
+        "em_bursts": EM_STATS["bursts"],
+        "em_compute_s": round(EM_STATS["compute_s"], 2),
+        "em_sync_s": round(EM_STATS["sync_s"], 2)}))
+
+
 if __name__ == "__main__":
     {"eigen20k": eigen20k, "parity6k": parity6k,
-     "mvlmm_lrt": mvlmm_lrt, "gxe": gxe}[sys.argv[1]]()
+     "mvlmm_lrt": mvlmm_lrt, "gxe": gxe, "hlc": hlc}[sys.argv[1]]()
