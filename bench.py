@@ -160,6 +160,9 @@ def main():
 
     platform = jax.default_backend()
     dtype = jnp.float32 if platform in ("tpu", "axon") else jnp.float64
+    from gemma_tpu.precision import apply_matmul_precision
+    apply_matmul_precision(dtype)   # deployed speed-mode config: the
+    # kernel metric must measure tf32-grade products, not raw bf16
 
     n = 1940           # mouse_hs1940 scale
     n_cvt = 1

@@ -79,8 +79,13 @@ def eigh_zeroed(G, out_dtype=None, with_raw: bool = False):
         return out + (jnp.asarray(w, dtype),) if with_raw else out
     if (G.shape[0] > _DEVICE_EIGH_MAX_N
             and jax.default_backend() not in ("cpu",)):
-        from gemma_tpu.parallel.eigh import eigh_dc
-        w, U = eigh_dc(jnp.asarray(G, jnp.dtype(dtype)), min_block=4096)
+        from gemma_tpu.parallel.eigh import eigh_dc, polish_banded
+        Gd = jnp.asarray(G, jnp.dtype(dtype))
+        w, U = eigh_dc(Gd, min_block=4096)
+        # banded Rayleigh-Ritz polish: contracts the sign-iteration's
+        # near-split subspace mixing to the f32 floor (measured
+        # 7.9e-3 -> sub-1e-3 p_wald deltas at n=6144)
+        w, U = polish_banded(Gd, w, U)
         eval_ = jnp.where(w < EIGEN_MINVALUE, 0.0, w)
         out = (eval_, U, jnp.mean(eval_))
         return out + (w,) if with_raw else out

@@ -174,18 +174,31 @@ def _split_quality_jit(Pproj, shard=None):
     return jnp.trace(Pproj), jnp.linalg.norm(P2 - Pproj)
 
 
-def _sign_newton_schulz(M, max_iter: int = 80, shard=None):
-    """Bucket-padded sign: embed k×k M as blockdiag(M, s I) (pads have
-    sign +1 and converge immediately); slice the true block."""
-    k = M.shape[0]
-    kb = _bucket(k)
+@functools.partial(jax.jit, static_argnames=("kb", "max_iter"))
+def _projector_pad_jit(A, sigma, kb: int, max_iter: int = 80):
+    """Replicated-path fused projector: builds the bucket-padded,
+    shifted operand, runs the sign iteration and forms P = (S+I)/2 in
+    ONE program, returning the true k×k block.  The eager composition
+    it replaces (A - sigma*eye, then a padded copy, then the sign jit)
+    held four n²-scale host-order buffers simultaneously — the
+    difference between fitting and RESOURCE_EXHAUSTED at n=20k f32 on
+    one 16 GB chip.  Pad diagonal entries sit above the spectrum so
+    their sign is +1 from the first iterate."""
+    k = A.shape[0]
+    M = A - sigma * jnp.eye(k, dtype=A.dtype)
     if kb != k:
         s = jnp.max(jnp.sum(jnp.abs(M), axis=1)) + 1.0
         Mp = jnp.zeros((kb, kb), M.dtype)
         Mp = Mp.at[:k, :k].set(M)
         Mp = Mp.at[jnp.arange(k, kb), jnp.arange(k, kb)].set(s)
-        return _sign_ns_jit(Mp, max_iter=max_iter, shard=shard)[:k, :k]
-    return _sign_ns_jit(M, max_iter=max_iter, shard=shard)
+    else:
+        Mp = M
+    norm = jnp.maximum(jnp.max(jnp.sum(jnp.abs(Mp), axis=1)),
+                       jnp.finfo(Mp.dtype).tiny)
+    S0 = Mp / (1.01 * norm)
+    eye = jnp.eye(kb, dtype=Mp.dtype)
+    S = _ns_loop(S0, eye, kb, max_iter, functools.partial(_pin, shard=None))
+    return (0.5 * (S + eye))[:k, :k]
 
 
 def _polar_projector(A, sigma, shard=None):
@@ -193,13 +206,12 @@ def _polar_projector(A, sigma, shard=None):
 
     Sharded mode requires the operand already bucket-aligned (the
     sharded recursion maintains n % 512 == 0) and runs the fused
-    pinned program; the replicated path keeps the bucketed-sign
-    composition."""
+    pinned program; the replicated path runs the fused bucket-padded
+    program (see _projector_pad_jit)."""
     n = A.shape[0]
     if shard is not None:
         return _projector_jit(A, jnp.asarray(sigma, A.dtype), shard=shard)
-    S = _sign_newton_schulz(A - sigma * jnp.eye(n, dtype=A.dtype))
-    return 0.5 * (S + jnp.eye(n, dtype=A.dtype))
+    return _projector_pad_jit(A, jnp.asarray(sigma, A.dtype), _bucket(n))
 
 
 @jax.jit
@@ -222,74 +234,176 @@ def _qr_bucketed(Y, k_cols: int):
     return Q[:n, :k_cols]
 
 
+def _invsqrt_ns(G, max_iter: int = 60):
+    """G^{-1/2} for an SPD Gram matrix via the coupled Newton-Schulz
+    (Denman-Beavers) iteration — pure matmuls, no triangular solve.
+    XLA:TPU's triangular_solve at (k≈10k, n≈20k) shapes plans ~80 GB
+    of HBM scratch (compile-time OOM); this replaces it with ~3 (k,k)
+    matmuls per iteration.  Scaling by 1.01·row-sum-norm puts the
+    spectrum of G̃ in (0, 1), where the iteration is globally
+    convergent; condition here is O(1)-to-~100 (projected Gaussians),
+    so it converges in a few dozen iterations with a quadratic tail."""
+    m = G.shape[0]
+    dtype = G.dtype
+    hp = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(m, dtype=dtype)
+    s = 1.01 * jnp.maximum(jnp.max(jnp.sum(jnp.abs(G), axis=1)),
+                           jnp.finfo(dtype).tiny)
+    tol = 40 * jnp.finfo(dtype).eps
+
+    def cond(c):
+        _, _, err, t = c
+        return (t < max_iter) & (err > tol)
+
+    def body(c):
+        Yk, Zk, _, t = c
+        M = jnp.matmul(Zk, Yk, precision=hp)
+        err = jnp.linalg.norm(M - eye) / jnp.sqrt(jnp.asarray(m, dtype))
+        T = 1.5 * eye - 0.5 * M
+        return (jnp.matmul(Yk, T, precision=hp),
+                jnp.matmul(T, Zk, precision=hp), err, t + 1)
+
+    _, Z, _, _ = jax.lax.while_loop(
+        cond, body, (G / s, eye, jnp.asarray(jnp.inf, dtype), 0))
+    return Z / jnp.sqrt(s)
+
+
 @functools.partial(jax.jit, static_argnames=("shard",))
 def _cholqr2_jit(Y, shard=None):
-    """Orthonormalise the columns of row-sharded Y via CholeskyQR2:
-    G = Y'Y (sharded contraction → replicated k×k), L = chol(G),
-    Q = Y L^{-T} (independent per row block — perfectly SPMD), run
-    twice for f32 stability.  Householder QR is not partitionable in
-    XLA (it would gather the (n, k) operand to one device — the exact
-    buffer the n-axis scale-out must never materialise); CholeskyQR2
-    is all matmuls/solves and Y here is a projected Gaussian with
-    condition ~(√n+√k)/(√n−√k) = O(1), far inside CholeskyQR2's
-    stability region."""
+    """Orthonormalise the columns of row-sharded Y via Gram-based QR
+    run twice (CholeskyQR2-class): G = Y'Y (sharded contraction →
+    replicated k×k), Q = Y G^{-1/2} (independent per row block —
+    perfectly SPMD), with G^{-1/2} from Newton-Schulz (see
+    _invsqrt_ns; the triangular-solve formulation compile-OOMs on
+    TPU at n=20k).  Householder QR is not partitionable in XLA (it
+    would gather the (n, k) operand to one device — the exact buffer
+    the n-axis scale-out must never materialise); this is all matmuls
+    and Y here is a projected Gaussian with condition O(1), far inside
+    the Gram-QR stability region.  Two passes restore ~eps
+    orthonormality in f32."""
     hp = jax.lax.Precision.HIGHEST
     pin = functools.partial(_pin, shard=shard)
     Y = pin(Y)
     for _ in range(2):
         G = jnp.matmul(Y.T, Y, precision=hp)          # (k, k) replicated
-        L = jnp.linalg.cholesky(G)
-        Y = pin(jax.lax.linalg.triangular_solve(
-            L, Y, left_side=False, lower=True, transpose_a=True))
+        S = _invsqrt_ns(G)
+        Y = pin(jnp.matmul(Y, S, precision=hp))
     return Y
 
 
-@functools.partial(jax.jit, static_argnames=("n_true", "shard"))
-def _probe_jit(Pproj, key, n_true: int | None = None, shard=None):
-    """Random range-finding products (PG, G - PG) in one pinned
-    program.  The Gaussian probe G is GENERATED under the sharding
-    constraint — with partitionable threefry (JAX default) each device
-    materialises only its row shard; PG and G-PG carry the same pin.
-    Round-4 fix: the previous eager jax.random.normal(key, (n, n))
-    landed three unconstrained n² tensors on the default device.
+# Householder QR's workspace spikes past one chip's HBM around this
+# many rows at f32 (the n=20k -eigen OOM); above it the replicated
+# range finding switches to CholeskyQR2, whose peak is Y + a (k, k)
+# Gram and whose input here (projected Gaussians) is condition-O(1).
+_QR_HOUSEHOLDER_MAX_N = 8192
+
+
+def _cholqr2_bucketed(Y, k_cols: int):
+    """CholeskyQR2 of Y's first k_cols columns at a column-bucketed
+    compile shape.  Pad columns are iid Gaussians (full-rank Gram);
+    Cholesky's lower triangularity makes Q's leading k columns a
+    function of Y's leading k columns ONLY (the leading principal
+    block of chol(G) is chol(G11)), so the slice is exact."""
+    n = Y.shape[0]
+    cb = min(_bucket(k_cols), n)
+    Yk = Y[:, :k_cols]
+    if cb > k_cols:
+        pad = jax.random.normal(jax.random.PRNGKey(7), (n, cb - k_cols),
+                                Y.dtype)
+        Yk = jnp.concatenate([Yk, pad], axis=1)
+    return _cholqr2_jit(Yk)[:, :k_cols]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kb", "complement", "n_true", "shard"))
+def _probe_cols_jit(Pproj, key, kb: int, complement: bool,
+                    n_true: int | None = None, shard=None):
+    """SKINNY random range-finding product: P @ G for a fresh (n, kb)
+    Gaussian probe (or G - P@G when `complement`), in one pinned
+    program.  Range finding needs only ~k columns, so probing with an
+    n×n G (as before round 4) wasted half the FLOPs and held two more
+    n²-scale buffers live — the difference between fitting and OOM for
+    the replicated path at n=20k on one chip.  The probe is GENERATED
+    under the sharding constraint — with partitionable threefry (JAX
+    default) each device materialises only its row shard.
 
     `n_true` (marker-padded operands): rows ≥ n_true of G are zeroed,
     so range finding happens WITHIN the true block — the returned
-    bases have exactly-zero marker coordinates and marker directions
+    basis has exactly-zero marker coordinates and marker directions
     never mix into projected sub-blocks (the alignment invariant the
     sharded recursion depends on)."""
     pin = functools.partial(_pin, shard=shard)
+    n = Pproj.shape[0]
     Pproj = pin(Pproj)
-    G = jax.random.normal(key, Pproj.shape, Pproj.dtype)
-    if n_true is not None and n_true < Pproj.shape[0]:
-        mask = (jnp.arange(Pproj.shape[0]) < n_true)
+    G = jax.random.normal(key, (n, kb), Pproj.dtype)
+    if n_true is not None and n_true < n:
+        mask = (jnp.arange(n) < n_true)
         G = G * mask[:, None].astype(G.dtype)
     G = pin(G)
     PG = pin(jnp.matmul(Pproj, G, precision=jax.lax.Precision.HIGHEST))
-    return PG, pin(G - PG)
+    return pin(G - PG) if complement else PG
 
 
-def _split_basis(Pproj, k, key, n_true=None, shard=None):
-    """Orthonormal bases (V1 (n,k), V2 (n,n_true-k)) of the true-block
-    range of P and its true-block complement via randomized range
-    finding (exact for projectors).  The n×n products PG and G-PG keep
-    compile shapes fixed per level; only the bucketed QR sees the
-    data-dependent rank.  Sharded mode swaps Householder QR for
-    CholeskyQR2 (see _cholqr2_jit) so the (n, k) factors stay
-    row-partitioned."""
+@functools.partial(jax.jit, static_argnames=("shard",))
+def _gs_complement_jit(V1, V2, shard=None):
+    """One step of block Gram-Schmidt: V2 - V1 (V1'V2), pinned.
+
+    V1 and V2 are each orthonormal to machine precision (QR), but
+    their MUTUAL orthogonality is only as good as the sign iteration's
+    projector (~||P²-P||, up to 1e-4 in f32 near a clustered split) —
+    and that cross-block defect propagates straight into U'U and the
+    rotated quadratic forms (measured 1e-4 orth defect, the dominant
+    p_wald error term at n≥2k).  Projecting V2 off V1 restores mutual
+    orthogonality to ~eps per level; the caller re-orthonormalises V2
+    afterwards.  The (k1, k2) coefficient block is pinned row-sharded
+    so no (n/2)²-scale replicated buffer appears at the top split."""
+    hp = jax.lax.Precision.HIGHEST
+    pin = functools.partial(_pin, shard=shard)
+    C = pin(jnp.matmul(V1.T, V2, precision=hp))
+    return pin(V2 - jnp.matmul(V1, C, precision=hp))
+
+
+def _split_probes(Pproj, k, key, n_true=None, shard=None):
+    """Skinny range-finding probes (PG, G2 - P G2) for a split of rank
+    k; the caller must drop its own Pproj reference immediately after
+    (the projector is an n²-scale buffer, and QR/CholeskyQR must not
+    run with it still live)."""
     n = Pproj.shape[0]
     nt = n if n_true is None else n_true
-    PG, Gm = _probe_jit(Pproj, key, n_true=n_true, shard=shard)
+    key1, key2 = jax.random.split(key)
+    kb1, kb2 = min(_bucket(k), n), min(_bucket(nt - k), n)
+    PG = (_probe_cols_jit(Pproj, key1, kb1, False, n_true=n_true,
+                          shard=shard) if k > 0 else None)
+    Gm = (_probe_cols_jit(Pproj, key2, kb2, True, n_true=n_true,
+                          shard=shard) if nt - k > 0 else None)
+    return PG, Gm
+
+
+def _bases_from_probes(PG, Gm, n, k, nt, dtype, shard=None):
+    """Orthonormal bases (V1 (n,k), V2 (n,nt-k)) of the true-block
+    range of P and its complement from the skinny probe products
+    (range finding is exact for projectors).  V2 is block-Gram-Schmidt
+    corrected against V1 (see _gs_complement_jit) before its final
+    orthonormalisation, so [V1 V2] is orthonormal to ~eps even when
+    the projector carries near-split mixing.  Sharded mode swaps
+    Householder QR for CholeskyQR2 (see _cholqr2_jit) so the (n, k)
+    factors stay row-partitioned."""
     if shard is not None:
         V1 = (_cholqr2_jit(PG[:, :k], shard=shard) if k > 0
-              else jnp.zeros((n, 0), Pproj.dtype))
+              else jnp.zeros((n, 0), dtype))
         V2 = (_cholqr2_jit(Gm[:, :nt - k], shard=shard) if nt - k > 0
-              else jnp.zeros((n, 0), Pproj.dtype))
+              else jnp.zeros((n, 0), dtype))
+        if k > 0 and nt - k > 0:
+            V2 = _cholqr2_jit(_gs_complement_jit(V1, V2, shard=shard),
+                              shard=shard)
         return V1, V2
-    V1 = (_qr_bucketed(PG, k) if k > 0
-          else jnp.zeros((n, 0), Pproj.dtype))
-    V2 = (_qr_bucketed(Gm, nt - k) if nt - k > 0
-          else jnp.zeros((n, 0), Pproj.dtype))
+    qr = _qr_bucketed if n <= _QR_HOUSEHOLDER_MAX_N else _cholqr2_bucketed
+    V1 = qr(PG, k) if k > 0 else jnp.zeros((n, 0), dtype)
+    PG = None
+    V2 = qr(Gm, nt - k) if nt - k > 0 else jnp.zeros((n, 0), dtype)
+    Gm = None
+    if k > 0 and nt - k > 0:
+        V2 = qr(_gs_complement_jit(V1, V2), nt - k)
     return V1, V2
 
 
@@ -493,7 +607,11 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
         return _leaf_eigh(A)
 
     key, k1, k2, k3 = jax.random.split(key, 4)
-    V1, V2 = _split_basis(Pproj, k, k1, n_true=n_true, shard=shard)
+    dtype_A = A.dtype
+    PG, Gm = _split_probes(Pproj, k, k1, n_true=n_true, shard=shard)
+    Pproj = None              # n²-scale buffer: release before QR work
+    V1, V2 = _bases_from_probes(PG, Gm, n, k, nt, dtype_A, shard=shard)
+    PG = Gm = None
 
     if shard is not None:
         from gemma_tpu.utils.memguard import check as _mem_check
@@ -540,6 +658,90 @@ def _branch_sharded(A, V, min_block, key, depth, shard):
                      key, depth + 1)
     return wp, _assemble_sharded_jit(
         V, jnp.pad(Up, ((0, kb - k), (0, 0))), kb, shard=shard)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "shard"))
+def _polish_banded_jit(A, U, b: int, shard=None):
+    """Banded Rayleigh-Ritz polish of an approximate eigenbasis.
+
+    The D&C's dominant error is Newton-Schulz subspace mixing between
+    eigenpairs near each split shift — bounded by eps/gap, which for a
+    continuous kinship spectrum at n≈6k reaches ~1e-3 in f32 (measured
+    7.9e-3 p_wald impact at n=6144).  Those eigenpairs are ADJACENT in
+    the sorted order, so the error sits in a band around the diagonal
+    of T = U'AU.  Two offset passes of block diagonalization (batched
+    b×b eigh of T's diagonal blocks + block-diagonal rotations of U
+    and T — pure matmuls) annihilate any coupling within b/2 columns,
+    contracting the banded error quadratically; broadband rounding
+    noise stays at the f32 floor either way.  Cost: ~5 n³-flop
+    matmuls + 2(k/b) batched eighs — milliseconds next to the sign
+    iterations.  Returns (w ascending, U reordered).
+
+    U may be rectangular (n, k) — the sharded path hands the true
+    pairs of a marker-padded operand (zero marker rows make U'AU the
+    true-block Rayleigh quotient exactly).  Sharded mode keeps A/U/T
+    row-partitioned: the U rotation contracts the column axis only,
+    and every T product re-pins.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    pin = functools.partial(_pin, shard=shard)
+    n, k = U.shape
+    nb = k // b
+    U = pin(U)
+    T = pin(jnp.matmul(U.T, pin(jnp.matmul(A, U, precision=hp)),
+                       precision=hp))
+    for off in (0, b // 2):
+        if off:
+            # roll brings offset blocks to block-aligned positions; the
+            # wrap block couples the spectrum's two ends, where T has
+            # only ~eps mass — its eigh is a reordering the final
+            # argsort undoes
+            T = pin(jnp.roll(T, (-off, -off), axis=(0, 1)))
+            U = pin(jnp.roll(U, -off, axis=1))
+        blocks = T.reshape(nb, b, nb, b)
+        diag_blocks = jnp.stack([blocks[i, :, i, :] for i in range(nb)])
+        sym = 0.5 * (diag_blocks + jnp.swapaxes(diag_blocks, -1, -2))
+        with jax.default_matmul_precision("float32"):
+            _, Q = jnp.linalg.eigh(sym)                  # (nb, b, b)
+        # U <- U @ blockdiag(Q): contracts the column axis only, so a
+        # row-sharded U stays row-sharded
+        U = pin(jnp.einsum("nib,ibc->nic", U.reshape(n, nb, b), Q,
+                           precision=hp).reshape(n, k))
+        T = pin(jnp.einsum("iab,ianc->ibnc", Q, T.reshape(nb, b, nb, b),
+                           precision=hp).reshape(k, k))
+        T = pin(jnp.einsum("inb,nbc->inc", T.reshape(k, nb, b), Q,
+                           precision=hp).reshape(k, k))
+    w = jnp.diagonal(T)
+    order = jnp.argsort(w)
+    return w[order], pin(U[:, order])
+
+
+def _polish_block(k: int, target: int = 512) -> int | None:
+    """Largest divisor of k in [32, 2*target] (preferring ≤ target);
+    None when k has no usable divisor (tiny/prime k — skip the polish,
+    accuracy is then no worse than before it existed)."""
+    best = None
+    for b in range(min(target, k // 2), 31, -1):
+        if k % b == 0:
+            best = b
+            break
+    if best is None:
+        for b in range(target + 1, min(2 * target, k // 2) + 1):
+            if k % b == 0:
+                best = b
+                break
+    return best
+
+
+def polish_banded(A, w, U, shard=None, block: int = 512):
+    """Top-level polish entry: picks a block size dividing U's column
+    count and runs the two-pass banded Rayleigh-Ritz refinement.
+    No-op (returns inputs) when no usable block size exists."""
+    k = U.shape[1]
+    b = _polish_block(k, block)
+    if b is None or k // b < 2:
+        return w, U
+    return _polish_banded_jit(A, U, b, shard=shard)
 
 
 def _pad_marked(A):
@@ -598,6 +800,10 @@ def eigh_sharded(A, mesh: Mesh, min_block: int = 2048, axis=None):
     Ad = jax.device_put(Ap, sharding)
     w, U = eigh_dc(Ad, min_block=min_block, shard=sharding,
                    n_true=(None if Ap.shape[0] == k else k))
+    # banded Rayleigh-Ritz polish on the true pairs (U's zero marker
+    # rows make U'AdU the true-block Rayleigh quotient exactly); every
+    # product stays row-sharded via the pins
+    w, U = polish_banded(Ad, w, U, shard=sharding)
     # sharded mode returns TRUE pairs only (U rows beyond k are zero)
     if k == U.shape[0]:
         return w, U

@@ -46,3 +46,27 @@ def resolve_dtype(precision: str = "auto"):
 def host_dtype():
     """Host-side (numpy) dtype: always float64, matching GEMMA's parsers."""
     return np.float64
+
+
+def apply_matmul_precision(dtype) -> None:
+    """Raise the default matmul precision for float32 speed mode on
+    accelerator backends.
+
+    TPU f32 matmuls default to bf16 multiplies (~8 mantissa bits):
+    measured on-chip at n=6144 with EXACT f64 eigen factors, that
+    alone moves -lmm p_wald by 9.8e-3 — far outside the 1e-3
+    speed-mode contract, and enough to fail GEMMA's own 1e-3
+    kinship-cell goldens.  "tensorfloat32" (bf16x3 passes on v5e)
+    brings it to 8.0e-4, and "float32" (bf16x6, 2x the cost) is no
+    better (7.8e-4 — the remaining error is f32 arithmetic elsewhere,
+    not matmul precision), so bf16x3 is the default.
+    GEMMA_TPU_MATMUL_PRECISION overrides (e.g. "float32", or
+    "bfloat16" for raw MXU rate where accuracy is not needed).  No-op
+    for float64 and on CPU, where f32 matmuls are already true f32."""
+    import os
+    if jnp.dtype(dtype) != jnp.float32:
+        return
+    if jax.default_backend() in ("cpu",):
+        return
+    prec = os.environ.get("GEMMA_TPU_MATMUL_PRECISION", "tensorfloat32")
+    jax.config.update("jax_default_matmul_precision", prec)

@@ -34,7 +34,9 @@ from gemma_tpu.utils.validate import validate_kinship
 
 
 def _resolve_dtype(cfg: GemmaConfig):
-    return precision.resolve_dtype(cfg.precision)
+    dtype = precision.resolve_dtype(cfg.precision)
+    precision.apply_matmul_precision(dtype)
+    return dtype
 
 
 def _mesh_block_size(cfg: GemmaConfig, mesh, n_items: int | None = None
@@ -301,6 +303,7 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     dtype = _resolve_dtype(cfg)
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
+    _LAST_GK_2D.clear()       # empty unless THIS run takes the 2-D path
 
     scale = cfg.gk_mode == 2 or cfg.a_mode == 22
     mask = _kinship_snp_mask(ds)
@@ -385,6 +388,7 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
 
     Returns (eval, U, trace_G) on device in `dtype`
     (gemma.cpp:2584-2669)."""
+    _LAST_EIGEN_SHARDED.clear()   # empty unless the sharded branch runs
     if cfg.file_ku and cfg.file_kd:
         U = jnp.asarray(read_eigen_u(cfg.file_ku), dtype=dtype)
         eval_, trace_G = zero_eigenvalues(
@@ -533,6 +537,7 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     dtype = _resolve_dtype(cfg)
     log = log or RunLog(argv=["gemma-tpu"])
     ds = load_dataset(cfg)
+    _LAST_ASSOC_2D.clear()    # empty unless the 2-D pipeline runs
     if cfg.n_ph != 1:
         raise ValueError("run_lmm is single-phenotype; use run_mvlmm")
 

@@ -49,8 +49,11 @@ def parity6k():
     """f32 spectral-D&C (production threshold engaged: n>4608) vs f64
     host-LAPACK `-lmm 1` p-values at n=6144 — the real-chip version of
     tests/test_f32_parity_dc.py."""
+    from gemma_tpu.precision import enable_x64, apply_matmul_precision
+    enable_x64()      # the f64 leg must not silently truncate to f32
     import jax
     import jax.numpy as jnp
+    apply_matmul_precision(jnp.float32)   # production f32 config
     from gemma_tpu.models.lmm.engine import fit_null, assoc_block_impl
     from gemma_tpu.ops.eigh import eigh_zeroed, _DEVICE_EIGH_MAX_N
 
@@ -81,7 +84,11 @@ def parity6k():
         return np.asarray(st.p_wald, np.float64), t_eigh
 
     p32, t32 = pipeline(jnp.float32)       # D&C path (n > 4608)
-    p64, t64 = pipeline(jnp.float64)       # host LAPACK parity path
+    # f64 parity leg runs on the CPU backend: the axon compile helper
+    # has no f64 LuDecomposition, and the production f64 path is
+    # host-LAPACK + CPU-grade numerics anyway
+    with jax.default_device(jax.devices("cpu")[0]):
+        p64, t64 = pipeline(jnp.float64)   # host LAPACK parity path
     dp = np.abs(p32 - p64)
     print(json.dumps({
         "n": n, "eigh_f32_dc_sec": round(t32, 1),
