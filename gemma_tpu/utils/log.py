@@ -99,8 +99,11 @@ class RunLog:
             w(f"## total computation time = {t.total_minutes():.6g} min \n")
             w("## computation time break down: \n")
             if a_mode in (21, 22, 11, 13):
+                # device accumulation + tunnel readback (timed apart
+                # internally for the phase profile; GEMMA reports one)
                 w(f"##      time on calculating relatedness matrix = "
-                  f"{t.minutes('kinship'):.6g} min \n")
+                  f"{t.minutes('kinship') + t.minutes('readback'):.6g}"
+                  f" min \n")
             if a_mode in (31, 1, 2, 3, 4, 5, 9, 11, 12, 13, 41, 42, 43):
                 w(f"##      time on eigen-decomposition = "
                   f"{t.minutes('eigen'):.6g} min \n")
