@@ -343,7 +343,6 @@ def logf_stable(lam, data: LmmBatchData, n_cvt: int, calc_null: bool,
 
 def dev1(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
     """First derivative of the log (restricted) likelihood w.r.t. lambda."""
-    idx = pab_indices(n_cvt)
     n = data.eval.shape[0]
     nc_total = _nc_total(n_cvt, calc_null)
 
@@ -353,7 +352,14 @@ def dev1(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
     row1, row2 = _base_rows_multi(hi, data, n_cvt, 2)
     pab = _pab_rows(row1, n_cvt)
     ppab = _ppab_rows(row2, pab, n_cvt)
+    return _dev1_from_rows(lam, trace_hi, pab, ppab, n, n_cvt,
+                           calc_null, reml)
 
+
+def _dev1_from_rows(lam, trace_hi, pab, ppab, n: int, n_cvt: int,
+                    calc_null: bool, reml: bool):
+    idx = pab_indices(n_cvt)
+    nc_total = _nc_total(n_cvt, calc_null)
     p_yy = pab[nc_total][..., idx.yy]
     pp_yy = ppab[nc_total][..., idx.yy]
     ypkpy = (p_yy - pp_yy) / lam
@@ -369,6 +375,67 @@ def dev1(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):
     else:
         trace_hik = (n - trace_hi) / lam
         return -0.5 * trace_hik + 0.5 * n * ypkpy / p_yy
+
+
+def dev1_grid(grid_np, data: LmmBatchData, n_cvt: int, calc_null: bool,
+              reml: bool):
+    """dev1 at a FIXED vector of G shared lambda values, for every lane
+    at once: returns (G,) + lanes.
+
+    The per-lane dev1 re-reads the (S, n) rotated block for every grid
+    point; with the lambda axis shared across lanes, every x-involving
+    base quantity for ALL grid points and both weight powers comes from
+    two MXU matmuls that read Utx ONCE — xcross = Utx @ (hi_g^p ⊙ UtWy)
+    and xx = Utx² @ hi_g^p — and the {W,y} quantities don't involve x at
+    all ((2G, n)(n, m_wy)).  This is the reference's interval scan
+    (lmm.cpp:1967-1982, one SNP and one lambda at a time) as a single
+    batched program.
+    """
+    idx = pab_indices(n_cvt)
+    n = data.eval.shape[0]
+    lanes = data.Utx.shape[:-1]
+    lane_nd = len(lanes)
+    dtype = data.eval.dtype
+    nc_total = _nc_total(n_cvt, calc_null)
+    G = len(grid_np)
+    lam = jnp.asarray(np.asarray(grid_np), dtype)        # (G,)
+    hi = 1.0 / (lam[:, None] * data.eval + 1.0)          # (G, n)
+    HiP = jnp.stack([hi, hi * hi])                        # (2, G, n)
+    trace_hi = jnp.sum(hi, axis=-1)                       # (G,)
+
+    shared = jnp.matmul(HiP.reshape(2 * G, n),
+                        data.wy_prod).reshape(2, G, -1)   # (2, G, m_wy)
+    Wb = jnp.einsum("pgn,nc->npgc", HiP, data.UtWy)       # (n, 2, G, c+1)
+    xcross = jnp.matmul(data.Utx, Wb.reshape(n, -1))
+    xcross = xcross.reshape(lanes + (2, G, n_cvt + 1))
+    xx = jnp.matmul(data.Utx * data.Utx,
+                    HiP.reshape(2 * G, n).T).reshape(lanes + (2, G))
+
+    wy_col = {int(q): i for i, q in enumerate(idx.wy_positions)}
+    xw_col = {int(q): int(j) for q, j in zip(idx.xw_positions,
+                                             idx.xw_partners)}
+    full = (G,) + lanes
+    rows = []
+    for p in range(2):
+        parts = []
+        for k in range(idx.n_index):
+            if k in wy_col:
+                v = shared[p, :, wy_col[k]].reshape(
+                    (G,) + (1,) * lane_nd)
+                parts.append(jnp.broadcast_to(v, full))
+            elif k == idx.xx:
+                parts.append(jnp.moveaxis(xx[..., p, :], -1, 0))
+            else:
+                parts.append(jnp.moveaxis(
+                    xcross[..., p, :, xw_col[k]], -1, 0))
+        rows.append(jnp.stack(parts, axis=-1))            # (G,)+lanes+(ni,)
+
+    pab = _pab_rows(rows[0], n_cvt)
+    ppab = _ppab_rows(rows[1], pab, n_cvt)
+    lam_b = lam.reshape((G,) + (1,) * lane_nd)
+    tr_b = trace_hi.reshape((G,) + (1,) * lane_nd)
+    return _dev1_from_rows(lam_b, tr_b, pab, ppab, n, n_cvt,
+                           calc_null, reml)
 
 
 def dev12(lam, data: LmmBatchData, n_cvt: int, calc_null: bool, reml: bool):

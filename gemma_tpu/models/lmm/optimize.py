@@ -43,6 +43,11 @@ _BRENT_MAX_ITER = 100
 _NEWTON_MAX_ITER = 100
 _BRENT_EPSREL = 1e-1
 _NEWTON_EPSREL = 1e-5
+# float32 speed mode: sub-intervals per coarse grid interval in the
+# shared-lambda fine scan (bracket width 10^(1/16) ≈ 1.15 at the
+# default l_min/l_max — tight enough that Newton converges in a few
+# iterations and the midpoint is a safe fallback)
+_F32_GRID_REFINE = 16
 
 
 class _BrentState(NamedTuple):
@@ -274,15 +279,34 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
         def f_logf(lam):
             return lk.logf_stable(lam, data, n_cvt, calc_null, reml)
 
-    # 1. grid scan of dev1 signs (lmm.cpp:1967-1982)
+    # 1. grid scan of dev1 signs (lmm.cpp:1967-1982).
+    #
+    #    float64 parity mode keeps the original per-point evaluation —
+    #    its summation order fixes the Brent/Newton trajectories and
+    #    the NaN-poisoning boundary, which the staging roundtrip tests
+    #    pin at the NaN-location level.
+    #
+    #    float32 speed mode evaluates an R×-finer grid in ONE
+    #    shared-lambda batched program (lk.dev1_grid reads the rotated
+    #    block once, not once per point): the coarse intervals keep the
+    #    reference's bracket DEFINITION (a root the 10-point scan
+    #    misses stays missed), while the fine sub-bracket hands Newton
+    #    a start within ~10^(1/(2R)) of the root, replacing the
+    #    memory-bound per-lane Brent while_loop entirely.
     step = np.log(l_max / l_min) / n_region
-    grid_np = l_min * np.exp(step * np.arange(n_region + 1))
-    # grid lambdas are python constants here, so XLA constant-folds the
-    # per-point weight vectors and fuses the whole scan
-    d1_rows = [f_dev1(jnp.full(lanes, g, dtype=dtype)) for g in grid_np]
-    d1 = jnp.stack(d1_rows)                         # (G+1, S)
+    refine = 1 if strict else _F32_GRID_REFINE
+    n_fine = n_region * refine
+    fine_np = l_min * np.exp((step / refine) * np.arange(n_fine + 1))
+    if strict:
+        d1f = jnp.stack([f_dev1(jnp.full(lanes, g, dtype=dtype))
+                         for g in fine_np])
+    else:
+        d1f = lk.dev1_grid(fine_np, data, n_cvt, calc_null, reml)
+    d1 = d1f[::refine]                              # coarse points
+    grid_np = fine_np[::refine]
     sign_change = d1[:-1] * d1[1:] <= 0.0           # (G, S)
     num_changes = jnp.sum(sign_change, axis=0)      # (S,)
+    sign_change_f = d1f[:-1] * d1f[1:] <= 0.0       # (Gf, S)
 
     # j-th sign-change interval per lane via cumulative counts and a
     # one-hot contraction (no argsort/gather)
@@ -295,17 +319,33 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
         (n_region + 1,) + (1,) * lane_nd)
     grid_col = grid.reshape((n_region + 1,) + (1,) * lane_nd)
 
+    fine = jnp.asarray(fine_np, dtype=dtype)
+    f_iota = jnp.arange(n_fine, dtype=jnp.int32).reshape(
+        (n_fine,) + (1,) * lane_nd)
+
     def bracket_at(j):
         """(lo, hi, flo, fhi) of each lane's j-th sign-change interval;
-        lanes with fewer changes get unused dummies."""
+        lanes with fewer changes get unused dummies.  Speed mode
+        narrows the coarse interval to its leftmost sign-changing fine
+        sub-interval (the coarse endpoints straddle, so one exists —
+        argmax returns the first True)."""
         onehot = (sign_change & (csum == j + 1)).astype(d1.dtype)
         iv = jnp.sum(g_iota * onehot.astype(jnp.int32), axis=0)
-        sel_lo = (gp_iota == iv[None]).astype(d1.dtype)
-        sel_hi = (gp_iota == iv[None] + 1).astype(d1.dtype)
-        lo = jnp.sum(grid_col * sel_lo, axis=0)
-        hi = jnp.sum(grid_col * sel_hi, axis=0)
-        flo = jnp.sum(d1 * sel_lo, axis=0)
-        fhi = jnp.sum(d1 * sel_hi, axis=0)
+        if strict:
+            sel_lo = (gp_iota == iv[None]).astype(d1.dtype)
+            sel_hi = (gp_iota == iv[None] + 1).astype(d1.dtype)
+            lo = jnp.sum(grid_col * sel_lo, axis=0)
+            hi = jnp.sum(grid_col * sel_hi, axis=0)
+            flo = jnp.sum(d1 * sel_lo, axis=0)
+            fhi = jnp.sum(d1 * sel_hi, axis=0)
+            return lo, hi, flo, fhi
+        window = ((f_iota >= iv[None] * refine)
+                  & (f_iota < (iv[None] + 1) * refine) & sign_change_f)
+        jf = jnp.argmax(window, axis=0)
+        lo = fine[jf]
+        hi = fine[jf + 1]
+        flo = jnp.take_along_axis(d1f, jf[None], axis=0)[0]
+        fhi = jnp.take_along_axis(d1f, jf[None] + 1, axis=0)[0]
         return lo, hi, flo, fhi
 
     neg_inf = jnp.full(lanes, -jnp.inf, dtype=dtype)
@@ -335,8 +375,17 @@ def calc_lambda(data: lk.LmmBatchData, n_cvt: int, calc_null: bool,
         active = (cy.j < num_changes) & ~cy.stopped & ~cy.failed
         lo, hi, flo, fhi = bracket_at(cy.j)
 
-        root_b, brent_conv, brent_cap = _brent_batched(
-            f_dev1, lo, hi, flo, fhi, active)
+        if strict:
+            root_b, brent_conv, brent_cap = _brent_batched(
+                f_dev1, lo, hi, flo, fhi, active)
+        else:
+            # the fine sub-bracket is within 10^(1/refine) relative
+            # width: Newton from its geometric midpoint replaces the
+            # per-lane Brent while_loop (each iteration of which was a
+            # full memory-bound block evaluation)
+            root_b = jnp.sqrt(lo * hi)
+            brent_conv = jnp.ones_like(active)
+            brent_cap = jnp.zeros_like(active)
 
         newton_active = active & brent_conv
         root_n, nt_conv, nt_failed = _newton_batched(

@@ -532,8 +532,52 @@ def _leaf_sharded(A, n_true, shard):
     return w, jnp.pad(Ut, ((0, n - n_true), (0, 0)))
 
 
+def _true_cluster_stats(A, nt: int):
+    """(c, rms_dev) of the TRUE leading nt×nt block of a (possibly
+    marker-padded) operand: c = mean eigenvalue, rms_dev =
+    ||A_true - c I||_F / sqrt(nt) = rms eigenvalue deviation from c.
+    Markers are coordinate-aligned (off-diagonals exactly zero), so
+    the true-block Frobenius mass is total minus the marker diagonal."""
+    n = A.shape[0]
+    diag = jnp.diag(A)
+    mark = jnp.where(jnp.arange(n) >= nt, diag, 0.0)
+    F2_true = jnp.sum(A * A) - jnp.sum(mark * mark)
+    tr_true = jnp.sum(diag) - jnp.sum(mark)
+    c = tr_true / nt
+    res2 = jnp.maximum(F2_true - tr_true * tr_true / nt, 0.0)
+    return c, jnp.sqrt(res2 / nt)
+
+
+def _cluster_leaf(A, nt: int, scale: float, shard):
+    """Terminal case for a block no split shift can separate: certify
+    that the true block is ONE tight eigenvalue cluster and return the
+    trivial eigenbasis.  A centered kinship with p < n has an (n-p)-
+    dimensional ZERO eigencluster — spectral D&C cannot split an exact
+    cluster (every candidate sigma lands inside it), and a leaf eigh at
+    cluster size explodes past ~6k (the n=20k worker crash).  For a
+    cluster, the coordinate basis IS an eigenbasis to working accuracy:
+    ||A_true - c I||_F bounds sqrt(sum (lambda_i - c)^2) exactly, so
+    accepting when the rms deviation is ~1e-3 of the root's rms
+    eigenvalue scale gives eigenpairs as good as the sign iteration's
+    own mixing floor (the reference's DSYEVR has no such case — it
+    never runs at sizes where this matters, lapack.cpp:205-236).
+    Returns (w ascending, U with zero marker rows), or None when the
+    block is not a certified cluster."""
+    n = A.shape[0]
+    c, rms = _true_cluster_stats(A, nt)
+    tol = 1e-3 if A.dtype == jnp.float32 else 1e-7
+    if not bool(rms <= tol * scale):
+        return None
+    diag = jnp.diag(A)[:nt]
+    order = jnp.argsort(diag)
+    U = jnp.eye(n, nt, dtype=A.dtype)[:, order]
+    if shard is not None:
+        U = jax.device_put(U, shard)
+    return diag[order], U
+
+
 def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
-            shard=None, n_true: int | None = None):
+            shard=None, n_true: int | None = None, _scale: float | None = None):
     """Spectral divide-and-conquer eigh.  Returns (eigenvalues
     ascending, eigenvectors as columns), like jnp.linalg.eigh.
 
@@ -559,6 +603,11 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
     n_mark = n - nt
     if key is None:
         key = jax.random.PRNGKey(0)
+    if _scale is None:
+        # root rms eigenvalue magnitude — the absolute yardstick every
+        # level's cluster certification is measured against
+        c0, root_rms = _true_cluster_stats(A, nt)
+        _scale = float(jnp.sqrt(root_rms * root_rms + c0 * c0)) or 1.0
     if shard is not None and (nt <= min_block or _depth > 40):
         return _leaf_sharded(A, nt, shard)
     if shard is None and (n <= min_block or _depth > 40):
@@ -612,10 +661,27 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
         if debug:
             print(f"eigh_dc n={n} nt={nt}: all splits failed -> leaf",
                   flush=True)
-        # degenerate true block (e.g. one wide eigenvalue cluster)
-        if shard is not None:
-            return _leaf_sharded(A, nt, shard)
-        return _leaf_eigh(A)
+        # degenerate true block: an exact leaf when the device solver
+        # can take it; otherwise certify a tight eigenvalue cluster
+        # (rank-deficient kinship's zero eigenspace — the n=20k crash);
+        # otherwise fail with guidance instead of compile-exploding
+        leaf_max = int(os.environ.get("GEMMA_TPU_EIGH_LEAF_MAX", "4608"))
+        if nt <= max(min_block, leaf_max):
+            if shard is not None:
+                return _leaf_sharded(A, nt, shard)
+            return _leaf_eigh(A)
+        cl = _cluster_leaf(A, nt, _scale, shard)
+        if cl is not None:
+            if debug:
+                print(f"eigh_dc n={n} nt={nt}: cluster leaf accepted",
+                      flush=True)
+            return cl
+        raise RuntimeError(
+            f"eigh_dc: a {nt}-dimensional block cannot be split by any "
+            "shift and is not a tight eigenvalue cluster — the device "
+            "eigensolver cannot take a leaf this large. Use float64 "
+            "parity mode (host LAPACK) for this matrix, or report the "
+            "spectrum shape.")
 
     key, k1, k2, k3 = jax.random.split(key, 4)
     dtype_A = A.dtype
@@ -627,8 +693,10 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
     if shard is not None:
         from gemma_tpu.utils.memguard import check as _mem_check
         _mem_check(f"eigh_dc.split n={n} k={k}")
-        w1, U1 = _branch_sharded(A, V1, min_block, k2, _depth, shard)
-        w2, U2 = _branch_sharded(A, V2, min_block, k3, _depth, shard)
+        w1, U1 = _branch_sharded(A, V1, min_block, k2, _depth, shard,
+                                 _scale)
+        w2, U2 = _branch_sharded(A, V2, min_block, k3, _depth, shard,
+                                 _scale)
         out = _merge_order_jit(w2, w1, U2, U1, shard=shard)
         _mem_check(f"eigh_dc.merge n={n}")
         return out
@@ -648,8 +716,8 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
     else:
         A1 = _project_bucketed(A, V1)
         A2 = _project_bucketed(A, V2)
-    w1, U1 = eigh_dc(A1, min_block, k2, _depth + 1)
-    w2, U2 = eigh_dc(A2, min_block, k3, _depth + 1)
+    w1, U1 = eigh_dc(A1, min_block, k2, _depth + 1, _scale=_scale)
+    w2, U2 = eigh_dc(A2, min_block, k3, _depth + 1, _scale=_scale)
     w = jnp.concatenate([w2, w1])            # w2 below sigma, w1 above
     U = jnp.concatenate(
         [_assemble_bucketed(V2, U2),
@@ -658,7 +726,7 @@ def eigh_dc(A, min_block: int = 512, key=None, _depth: int = 0,
     return w[order], U[:, order]
 
 
-def _branch_sharded(A, V, min_block, key, depth, shard):
+def _branch_sharded(A, V, min_block, key, depth, shard, scale=None):
     """One recursion branch of the sharded D&C: project to a row-
     sharded marker-padded (kb, kb) sub-operand, recurse (sharded while
     it stays large and mesh-divisible, replicated once it is leaf- or
@@ -673,13 +741,13 @@ def _branch_sharded(A, V, min_block, key, depth, shard):
         # sharded recursion returns true pairs only: wp (k,), Up
         # (kb, k) with zero marker rows
         wp, Up = eigh_dc(Asub, min_block, key, depth + 1, shard=shard,
-                         n_true=(None if kb == k else k))
+                         n_true=(None if kb == k else k), _scale=scale)
         return wp, _assemble_sharded_jit(V, Up, kb, shard=shard)
     # leaf/Gram-sized: project at the true size, replicate (k² is
     # KBs–MBs here) and recurse on the replicated path
     Asub = _project_pad_marked_jit(A, V, kb, shard=shard)
     wp, Up = eigh_dc(_replicated(Asub, shard)[:k, :k], min_block,
-                     key, depth + 1)
+                     key, depth + 1, _scale=scale)
     return wp, _assemble_sharded_jit(
         V, jnp.pad(Up, ((0, kb - k), (0, 0))), kb, shard=shard)
 

@@ -142,3 +142,24 @@ def test_eigh_sharded_non_divisible_bucket_stays_partitioned(monkeypatch):
     np.testing.assert_allclose(Un.T @ Un, np.eye(n), atol=1e-8)
     # the flagship property: U left the solver row-partitioned
     assert not U.sharding.is_fully_replicated
+
+
+def test_eigh_dc_giant_zero_cluster_leaf(monkeypatch):
+    """A centered rank-deficient kinship has an (n - rank)-dimensional
+    EXACT zero eigencluster that no split shift can separate; when the
+    cluster is bigger than the device leaf capacity, eigh_dc must
+    certify it and return the trivial eigenbasis (any orthonormal
+    basis of a cluster's eigenspace is an eigenbasis) instead of
+    attempting a leaf solve that explodes at scale (the round-5 n=20k
+    worker crash)."""
+    monkeypatch.setenv("GEMMA_TPU_EIGH_LEAF_MAX", "48")
+    n, rank = 256, 64
+    A = _sym(n, seed=13, rank=rank)
+    A = A - A.mean(0) - A.mean(1)[:, None] + A.mean()
+    A = 0.5 * (A + A.T)
+    w, U = eigh_dc(jnp.asarray(A), min_block=32)
+    w_ref, _ = np.linalg.eigh(A)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-9)
+    Un = np.asarray(U)
+    np.testing.assert_allclose(Un.T @ Un, np.eye(n), atol=1e-8)
+    np.testing.assert_allclose(A @ Un, Un * np.asarray(w), atol=1e-7)

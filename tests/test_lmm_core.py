@@ -376,3 +376,26 @@ def test_float32_speed_mode_matches_float64():
     ok = np.isfinite(a) & np.isfinite(b)
     assert ok.mean() > 0.97
     assert np.nanmax(np.abs(a[ok] - b[ok])) < 1e-3
+
+
+@pytest.mark.parametrize("reml,calc_null", [(True, False), (False, False),
+                                            (True, True)])
+def test_dev1_grid_matches_per_point(reml, calc_null):
+    """The shared-lambda batched grid evaluation (one MXU pass over the
+    rotated block for ALL grid points) must agree with the per-lane
+    dev1 called once per grid value — same recurrences, different
+    contraction layout (round-5 kernel path)."""
+    rng = np.random.default_rng(11)
+    n, S, n_cvt = 200, 16, 2
+    ev = np.sort(np.abs(rng.gamma(1.5, 1.2, n))); ev[:2] = 0.0
+    UtW = rng.normal(0.5, 0.3, (n, n_cvt))
+    Uty = rng.normal(size=n) * np.sqrt(ev + 1.0)
+    Utx = rng.normal(size=(S, n))
+    data = lk.build_batch_data(jnp.asarray(ev), jnp.asarray(UtW),
+                               jnp.asarray(Uty), jnp.asarray(Utx), n_cvt)
+    grid = 1e-5 * np.exp(np.log(1e10) / 10 * np.arange(11))
+    got = np.asarray(lk.dev1_grid(grid, data, n_cvt, calc_null, reml))
+    want = np.stack([np.asarray(lk.dev1(
+        jnp.full((S,), g, jnp.float64), data, n_cvt, calc_null, reml))
+        for g in grid])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
