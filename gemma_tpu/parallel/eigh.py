@@ -309,20 +309,72 @@ def _cholqr2_jit(Y, shard=None):
 _QR_HOUSEHOLDER_MAX_N = 8192
 
 
-def _cholqr2_bucketed(Y, k_cols: int):
-    """CholeskyQR2 of Y's first k_cols columns at a column-bucketed
-    compile shape.  Pad columns are iid Gaussians (full-rank Gram);
-    Cholesky's lower triangularity makes Q's leading k columns a
-    function of Y's leading k columns ONLY (the leading principal
-    block of chol(G) is chol(G11)), so the slice is exact."""
-    n = Y.shape[0]
-    cb = min(_bucket(k_cols), n)
-    Yk = Y[:, :k_cols]
-    if cb > k_cols:
-        pad = jax.random.normal(jax.random.PRNGKey(7), (n, cb - k_cols),
-                                Y.dtype)
-        Yk = jnp.concatenate([Yk, pad], axis=1)
-    return _cholqr2_jit(Yk)[:, :k_cols]
+# column-panel width for the blocked large-n QR: per-op scratch is one
+# panel Gram + its Newton-Schulz iterates instead of the full (kb, kb)
+# Gram (at kb=16k the full-Gram variant's ~6 GB in-program scratch
+# crashed the 16 GB worker once ~3 GB of factors were live)
+_QR_PANEL = 2048
+
+
+def _panel_qr_body(Y, m):
+    """Blocked CholeskyQR2 (CGS2 panels) of masked Y (n, kb): each
+    2048-column panel is projected off the previous panels twice, then
+    symmetrically orthogonalised twice via its own small Gram.  Pad
+    columns (mask 0) are zeroed and their Gram completed to identity,
+    so the true block never mixes with the pad — a symmetric
+    orthogonaliser has no Cholesky-style leading-column property, so
+    Gaussian pad columns (the pre-round-5 scheme) would leak pad
+    directions into the basis and corrupt range finding whenever the
+    bucket exceeded the split rank.  Condition here is O(1)-to-~100
+    (projected Gaussians), far inside CGS2's stability region."""
+    n, kb = Y.shape
+    hp = jax.lax.Precision.HIGHEST
+    Y = Y * m[None, :]
+    for j in range(-(-kb // _QR_PANEL)):
+        s = j * _QR_PANEL
+        w = min(_QR_PANEL, kb - s)
+        Pj = Y[:, s:s + w]
+        if j > 0:
+            prev = Y[:, :s]
+            for _ in range(2):
+                C = jnp.matmul(prev.T, Pj, precision=hp)
+                Pj = Pj - jnp.matmul(prev, C, precision=hp)
+        mj = m[s:s + w]
+        mmj = mj[:, None] * mj[None, :]
+        Pj = Pj * mj[None, :]
+        for _ in range(2):
+            G = (jnp.matmul(Pj.T, Pj, precision=hp) * mmj
+                 + jnp.diag(1.0 - mj))
+            S = _invsqrt_ns(G)
+            Pj = jnp.matmul(Pj, S, precision=hp)
+        Y = jax.lax.dynamic_update_slice_in_dim(Y, Pj, s, 1)
+    return Y
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _cholqr2_masked_jit(Y, k_arr):
+    """Orthonormalise Y's FIRST k columns (k dynamic, width static and
+    bucketed — bounded, disk-cacheable compile keys) via the blocked
+    panel body; the input buffer is donated so the update chain runs
+    in place."""
+    kb = Y.shape[1]
+    m = (jnp.arange(kb) < k_arr).astype(Y.dtype)
+    return _panel_qr_body(Y, m)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _gs_cholqr2_masked_jit(V1b, V2b, k2_arr):
+    """Fused block Gram-Schmidt of V2 against V1 plus blocked
+    re-orthonormalisation, at bucketed widths with zero pad columns
+    (V1b's pads are exactly zero, so the (kb1, kb2) coefficient block
+    carries no pad mixing).  One program: XLA reuses the donated V2b
+    buffer across the GS update and the panel sweep."""
+    hp = jax.lax.Precision.HIGHEST
+    C = jnp.matmul(V1b.T, V2b, precision=hp)
+    V2b = V2b - jnp.matmul(V1b, C, precision=hp)
+    kb = V2b.shape[1]
+    m = (jnp.arange(kb) < k2_arr).astype(V2b.dtype)
+    return _panel_qr_body(V2b, m)
 
 
 @functools.partial(jax.jit,
@@ -408,13 +460,33 @@ def _bases_from_probes(PG, Gm, n, k, nt, dtype, shard=None):
             V2 = _cholqr2_jit(_gs_complement_jit(V1, V2, shard=shard),
                               shard=shard)
         return V1, V2
-    qr = _qr_bucketed if n <= _QR_HOUSEHOLDER_MAX_N else _cholqr2_bucketed
-    V1 = qr(PG, k) if k > 0 else jnp.zeros((n, 0), dtype)
+    if n <= _QR_HOUSEHOLDER_MAX_N:
+        qr = _qr_bucketed
+        V1 = qr(PG, k) if k > 0 else jnp.zeros((n, 0), dtype)
+        PG = None
+        V2 = qr(Gm, nt - k) if nt - k > 0 else jnp.zeros((n, 0), dtype)
+        Gm = None
+        if k > 0 and nt - k > 0:
+            V2 = qr(_gs_complement_jit(V1, V2), nt - k)
+        return V1, V2
+    # large replicated operands: every program runs at the BUCKETED
+    # width (bounded, disk-cacheable compile keys) with the true
+    # column count as a traced mask, inputs donated, and a sync after
+    # each giant program so their multi-GB transients never pile up in
+    # the dispatch queue (the n=20k worker crash)
+    def _qr_big(Y, kc):
+        Q = _cholqr2_masked_jit(Y, jnp.int32(kc))
+        Q.block_until_ready()
+        return Q
+    V1b = _qr_big(PG, k) if k > 0 else None
     PG = None
-    V2 = qr(Gm, nt - k) if nt - k > 0 else jnp.zeros((n, 0), dtype)
+    V2b = _qr_big(Gm, nt - k) if nt - k > 0 else None
     Gm = None
-    if k > 0 and nt - k > 0:
-        V2 = qr(_gs_complement_jit(V1, V2), nt - k)
+    if V1b is not None and V2b is not None:
+        V2b = _gs_cholqr2_masked_jit(V1b, V2b, jnp.int32(nt - k))
+        V2b.block_until_ready()
+    V1 = (V1b[:, :k] if V1b is not None else jnp.zeros((n, 0), dtype))
+    V2 = (V2b[:, :nt - k] if V2b is not None else jnp.zeros((n, 0), dtype))
     return V1, V2
 
 

@@ -22,14 +22,18 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def eigen20k():
+def eigen20k(n=20000, p=24576):
     """Kinship + eigendecomposition end-to-end at n=20,000 through the
-    production CLI (-gk from synthetic PLINK, then -eigen)."""
+    production CLI (-gk from synthetic PLINK, then -eigen).
+
+    p > n so K is FULL RANK and the spectral D&C faces a spread
+    spectrum (balanced splits, the hard case).  `eigen20k_rd` runs the
+    rank-deficient complement (p << n): its (n-p)-dimensional zero
+    eigencluster exercises the cluster-leaf path instead."""
     from synth_biobank import write_plink
     from gemma_tpu.cli import parse_args
     from gemma_tpu.run import batch_run
 
-    n, p = 20000, 4096
     td = tempfile.mkdtemp(prefix="perf20k_")
     prefix = os.path.join(td, "s")
     write_plink(prefix, n, p, h2=0.5, seed=0)
@@ -212,5 +216,7 @@ def hlc():
 
 
 if __name__ == "__main__":
-    {"eigen20k": eigen20k, "parity6k": parity6k,
+    {"eigen20k": eigen20k,
+     "eigen20k_rd": lambda: eigen20k(p=4096),
+     "parity6k": parity6k,
      "mvlmm_lrt": mvlmm_lrt, "gxe": gxe, "hlc": hlc}[sys.argv[1]]()

@@ -163,3 +163,25 @@ def test_eigh_dc_giant_zero_cluster_leaf(monkeypatch):
     Un = np.asarray(U)
     np.testing.assert_allclose(Un.T @ Un, np.eye(n), atol=1e-8)
     np.testing.assert_allclose(A @ Un, Un * np.asarray(w), atol=1e-7)
+
+
+def test_eigh_dc_cholqr2_big_path_pad_exactness(monkeypatch):
+    """The replicated large-n branch (CholeskyQR2 with masked bucket
+    padding) must give the same factors as LAPACK even when the bucket
+    exceeds the true split rank.  Regression for round-5's fix: the
+    previous Gaussian pad-column scheme mixed pad directions into the
+    basis (a symmetric orthogonaliser has no Cholesky leading-column
+    property), corrupting range finding whenever kb > k."""
+    from gemma_tpu.parallel import eigh as eigh_mod
+
+    monkeypatch.setattr(eigh_mod, "_QR_HOUSEHOLDER_MAX_N", 0)
+    monkeypatch.setenv("GEMMA_TPU_EIGH_BUCKET", "64")   # forces pads
+    n = 300
+    A = _sym(n, seed=17)
+    w, U = eigh_dc(jnp.asarray(A), min_block=80)
+    w_ref, _ = np.linalg.eigh(A)
+    np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-8,
+                               atol=1e-10)
+    Un = np.asarray(U)
+    np.testing.assert_allclose(Un.T @ Un, np.eye(n), atol=1e-8)
+    np.testing.assert_allclose(A @ Un, Un * np.asarray(w), atol=1e-7)
