@@ -217,6 +217,43 @@ def bimbam_dims(path: str):
     return n_rows.value, n_cols.value
 
 
+def f64_to_i8_hardcalls(X: np.ndarray) -> np.ndarray | None:
+    """One-pass hard-call encoding of a float64 dosage matrix
+    ({0,1,2} -> int8, NaN -> -1); None when any value is outside the
+    set (fractional dosages) or the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_i8_ready"):
+        lib.f64_to_i8_hardcalls.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.f64_to_i8_hardcalls.restype = ctypes.c_int64
+        lib._i8_ready = True
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    out = np.empty(X.shape, dtype=np.int8)
+    rc = lib.f64_to_i8_hardcalls(X.reshape(-1), X.size,
+                                 out.ctypes.data_as(ctypes.c_void_p))
+    return out if rc == 0 else None
+
+
+def fmt_g10(v: float) -> str | None:
+    """Test hook: the fast %.10g formatter for one double, or None
+    when it defers to snprintf."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_fmt_ready"):
+        lib.fmt_g10_test.argtypes = [ctypes.c_double, ctypes.c_char_p]
+        lib.fmt_g10_test.restype = ctypes.c_int
+        lib._fmt_ready = True
+    buf = ctypes.create_string_buffer(64)
+    n = lib.fmt_g10_test(float(v), buf)
+    if n < 0:
+        return None
+    return buf.raw[:n].decode()
+
+
 def write_matrix_g10(path: str, M) -> bool:
     """Native %.10g tab-separated matrix writer; False if the library
     is unavailable (caller falls back to numpy)."""

@@ -131,6 +131,20 @@ class LazyBedGenotypes:
         decoded = _BYTE_LUT_I8[self._body[sel]]
         return decoded.reshape(len(sel), -1)[:, :self._n]
 
+    def qc_stats(self, stat_mask: np.ndarray) -> np.ndarray:
+        """Per-SNP QC statistics over the masked columns via the int8
+        decode + integer counting (io/qc.qc_stats_from_i8) — replaces
+        the float64 NaN sweep in run_qc (~8x less memory traffic, no
+        NaN handling), blockwise so the (p, n) matrix never
+        materialises."""
+        from gemma_tpu.io.qc import qc_stats_from_i8
+        parts = []
+        for s in range(0, self.n_snps, 16384):
+            sel = np.arange(s, min(s + 16384, self.n_snps))
+            parts.append(qc_stats_from_i8(self.block_i8(sel), stat_mask))
+        return (np.concatenate(parts) if parts
+                else np.empty((0, 8), np.float64))
+
     @property
     def X(self) -> np.ndarray:
         if self._X is None:

@@ -104,6 +104,40 @@ def run_qc(X_test: np.ndarray, W: np.ndarray,
                     n_idv=n_obs.astype(np.int64))
 
 
+def qc_stats_from_i8(Xi8: np.ndarray, stat_mask: np.ndarray) -> np.ndarray:
+    """The native parser's (p, 8) QC statistic array ([n_miss, sum,
+    n_0, n_1, n_2, min, max, sumsq] over masked columns) computed from
+    an int8 dosage block ({0,1,2}, -1 missing) with integer numpy ops —
+    exact, and ~an order of magnitude cheaper than the float64 sweep
+    (no NaN handling, 1/8th the bytes).  Used by the binary-sidecar and
+    .bed backends where dosages are hard calls by construction."""
+    Xm = Xi8[:, np.asarray(stat_mask, bool)]
+    n_0 = (Xm == 0).sum(axis=1, dtype=np.int64)
+    n_1 = (Xm == 1).sum(axis=1, dtype=np.int64)
+    n_2 = (Xm == 2).sum(axis=1, dtype=np.int64)
+    n_obs = n_0 + n_1 + n_2
+    n_miss = Xm.shape[1] - n_obs
+    s = n_1 + 2 * n_2
+    sumsq = n_1 + 4 * n_2
+    # min/max of observed values, derived from the class counts
+    # (dosages are exactly {0,1,2}); zero-observation rows get
+    # min > max so the BIMBAM polymorphism rule can never pass them
+    gmin = np.where(n_0 > 0, 0.0, np.where(n_1 > 0, 1.0,
+                    np.where(n_2 > 0, 2.0, np.inf)))
+    gmax = np.where(n_2 > 0, 2.0, np.where(n_1 > 0, 1.0,
+                    np.where(n_0 > 0, 0.0, -np.inf)))
+    out = np.empty((Xm.shape[0], 8), dtype=np.float64)
+    out[:, 0] = n_miss
+    out[:, 1] = s
+    out[:, 2] = n_0
+    out[:, 3] = n_1
+    out[:, 4] = n_2
+    out[:, 5] = gmin
+    out[:, 6] = gmax
+    out[:, 7] = sumsq
+    return out
+
+
 def run_qc_from_stats(stats: np.ndarray, ni_test: int, W: np.ndarray,
                       geno=None, indicator_idv=None,
                       miss_level: float = 0.05, maf_level: float = 0.01,

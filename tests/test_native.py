@@ -59,3 +59,30 @@ def test_native_matrix_writer_byte_identity(tmp_path):
     write_matrix(str(p1), M)
     ref_lines = ["\t".join(f"{v:.10g}" for v in row) for row in M]
     assert p1.read_text().splitlines() == ref_lines
+
+
+def test_fmt_g10_byte_identity_sweep():
+    """The fast %.10g path (matrix_writer.cpp fmt_g10) must emit bytes
+    identical to snprintf for every value it accepts, and defer (None)
+    only on genuinely ambiguous roundings."""
+    if not native.available():
+        return
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.normal(size=20000),
+        rng.normal(size=20000) * 10.0 ** rng.integers(-30, 30, 20000),
+        rng.integers(-10**15, 10**15, 10000).astype(np.float64),
+        np.array([0.0, -0.0, 1.0, -1.0, 0.335, 1e-5, 1e5, 1e10, 1e-10,
+                  9.999999999e9, 1.00000000005, np.pi, 2**-1074,
+                  1.7976931348623157e308, 5e-324, 0.1, 1/3,
+                  np.inf, -np.inf, np.nan]),
+    ])
+    n_fallback = 0
+    for v in vals:
+        fast = native.fmt_g10(float(v))
+        if fast is None:
+            n_fallback += 1
+            continue
+        assert fast == "%.10g" % v, (float(v).hex(), fast, "%.10g" % v)
+    # the fallback is for rare boundary cases, not a crutch
+    assert n_fallback < len(vals) * 1e-3
