@@ -39,14 +39,31 @@ def _resolve_dtype(cfg: GemmaConfig):
     return dtype
 
 
-def _mesh_block_size(cfg: GemmaConfig, mesh, n_items: int | None = None
-                     ) -> int:
-    """cfg.block_size rounded up to a multiple of the mesh size (each
-    device gets equal SNP shards); clamped to the dataset size when
-    known (padding a 500-SNP run to a 10k-row block wastes wire bytes
-    and device memory for nothing — the clamp still yields ONE compile
-    shape per run)."""
-    bs = -(-cfg.block_size // mesh.size) * mesh.size
+def _mesh_block_size(cfg: GemmaConfig, mesh, n_items: int | None = None,
+                     n_axis: int | None = None) -> int:
+    """SNP block size for device batches, rounded up to a multiple of
+    the mesh size (each device gets equal SNP shards); clamped to the
+    dataset size when known (padding a 500-SNP run to a 10k-row block
+    wastes wire bytes and device memory for nothing — the clamp still
+    yields ONE compile shape per run).
+
+    Unless -block-size was given explicitly, the block is sized to the
+    hardware, not the 4096 floor: every dispatch through the axon
+    tunnel pays a fixed latency that dwarfs the device compute (the
+    mouse-scale -lmm ran 3 blocks of work the chip finishes in 30 ms
+    inside a 2.4 s opt phase), so blocks grow to 16384 SNPs, backed
+    off so the rotated f32 block stays within ~1.5 GB of HBM when the
+    individual count `n_axis` is known (biobank n=100k → 2048)."""
+    base = cfg.block_size
+    if not cfg.block_size_set:
+        cap = 16384
+        if n_axis is not None and n_axis > 0:
+            budget = int(os.environ.get("GEMMA_TPU_BLOCK_BYTES",
+                                        3 << 29))  # 1.5 GiB
+            cap = max(1024, min(cap, budget // (4 * n_axis)))
+            cap = 1 << (cap.bit_length() - 1)      # floor to pow2
+        base = max(base, cap)
+    bs = -(-base // mesh.size) * mesh.size
     if n_items is not None and n_items > 0:
         bs = min(bs, -(-n_items // mesh.size) * mesh.size)
     return max(bs, mesh.size)
@@ -322,7 +339,8 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
         else:
             mesh = default_mesh()
             idx = np.flatnonzero(mask)
-            bs = _mesh_block_size(cfg, mesh, len(idx))
+            bs = _mesh_block_size(cfg, mesh, len(idx),
+                                  n_axis=ds.ni_total)
             use_i8 = hasattr(ds.geno, "block_i8")
             acc = KinshipAccumulator(ds.ni_total, scale=scale,
                                      dtype=dtype, mesh=mesh)
@@ -594,7 +612,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         # production block sizing (round-3 verdict lifted the 256 cap:
         # two rotated n-vectors per gene are ~100 KB at biobank n —
         # full blocks fit HBM comfortably and amortise dispatch)
-        gb = _mesh_block_size(cfg, gene_mesh, len(gene_ids))
+        gb = _mesh_block_size(cfg, gene_mesh, len(gene_ids),
+                              n_axis=ds.ni_test)
         gene_shard = None
         if gene_mesh.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -667,7 +686,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         # fan-out beats it)
         gxe_mesh = default_mesh()
         # production block sizing (round-3 verdict lifted the 256 cap)
-        bs = _mesh_block_size(cfg, gxe_mesh, len(idx))
+        bs = _mesh_block_size(cfg, gxe_mesh, len(idx),
+                              n_axis=ds.ni_test)
         gxe_shard = None
         if gxe_mesh.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -683,7 +703,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         if u_mesh is not None:
             from gemma_tpu.parallel.shard import assoc_pipeline_2d
             mesh = u_mesh
-            bs = _mesh_block_size(cfg, mesh, len(idx))
+            bs = _mesh_block_size(cfg, mesh, len(idx),
+                                  n_axis=ds.ni_test)
             assoc_fn = assoc_pipeline_2d(mesh, n_cvt, mode, cfg.l_min,
                                          cfg.l_max, cfg.n_region)
             _LAST_ASSOC_2D.clear()
@@ -692,7 +713,8 @@ def run_lmm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
         else:
             from gemma_tpu.parallel.shard import assoc_pipeline
             mesh = default_mesh()
-            bs = _mesh_block_size(cfg, mesh, len(idx))
+            bs = _mesh_block_size(cfg, mesh, len(idx),
+                                  n_axis=ds.ni_test)
             assoc_fn = assoc_pipeline(mesh, n_cvt, mode, cfg.l_min,
                                       cfg.l_max, cfg.n_region)
     with log.timer.phase("opt"):
@@ -910,7 +932,7 @@ def run_lm(cfg: GemmaConfig, log: RunLog | None = None) -> dict:
     # SNP-sharded fan-out (lm.cpp:290-639's per-SNP loop as mesh-wide
     # batch): blocks rounded to the mesh, committed SNP-sharded
     mesh = default_mesh()
-    bs = _mesh_block_size(cfg, mesh, len(idx))
+    bs = _mesh_block_size(cfg, mesh, len(idx), n_axis=ds.ni_test)
     lm_shard = None
     if mesh.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
