@@ -131,6 +131,12 @@ class LazyBedGenotypes:
         decoded = _BYTE_LUT_I8[self._body[sel]]
         return decoded.reshape(len(sel), -1)[:, :self._n]
 
+    def block_bed(self, sel) -> np.ndarray:
+        """Raw packed .bed bytes for the rows `sel` — already the 2-bit
+        wire format (ops/pack2), so PLINK blocks cross the host→device
+        link with ZERO host-side decode at 2 bits/dosage."""
+        return np.ascontiguousarray(self._body[sel])
+
     def qc_stats(self, stat_mask: np.ndarray) -> np.ndarray:
         """Per-SNP QC statistics over the masked columns via the int8
         decode + integer counting (io/qc.qc_stats_from_i8) — replaces

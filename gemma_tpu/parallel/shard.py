@@ -27,6 +27,15 @@ from jax import shard_map
 
 from gemma_tpu.models.lmm.engine import assoc_block_impl
 from gemma_tpu.ops.kinship import center_genotype_block
+from gemma_tpu.ops.pack2 import unpack_bed
+
+
+def _maybe_unpack(raw, n: int):
+    """uint8 blocks are the 2-bit packed wire (ops/pack2): decode to
+    the int8 dosage layout; int8/float blocks pass through."""
+    if raw.dtype == jnp.uint8:
+        return unpack_bed(raw, n)
+    return raw
 
 
 def impute_rows(x, dtype):
@@ -102,7 +111,7 @@ def assoc_pipeline(mesh: Mesh, n_cvt: int, mode: int,
     its shard (LMM::Analyze body, lmm.cpp:1474-1658)."""
 
     def local(eval_, UtW, Uty, U, X_raw, l_mle_null, logl_mle_H0):
-        x = impute_rows(X_raw, eval_.dtype)
+        x = impute_rows(_maybe_unpack(X_raw, U.shape[0]), eval_.dtype)
         Utx = jnp.matmul(x, U, preferred_element_type=eval_.dtype)
         return assoc_block_impl(
             eval_, UtW, Uty, Utx, l_mle_null, logl_mle_H0,
@@ -150,7 +159,7 @@ def assoc_pipeline_2d(mesh: Mesh, n_cvt: int, mode: int,
     out_sh = NamedSharding(mesh, P(("snp", "ind")))
 
     def fn(eval_, UtW, Uty, U, X_raw, l_mle_null, logl_mle_H0):
-        x = impute_rows(X_raw, eval_.dtype)
+        x = impute_rows(_maybe_unpack(X_raw, U.shape[0]), eval_.dtype)
         x = jax.lax.with_sharding_constraint(x, snp_sh)
         U = jax.lax.with_sharding_constraint(U, ind_sh)
         Utx = jnp.matmul(x, U, preferred_element_type=eval_.dtype)
@@ -188,6 +197,7 @@ def kinship_2d_pipeline(mesh: Mesh, scale: bool, n_total: int | None = None):
 
     def local_update(K, raw):
         # K local: (n/ind, n); raw local: (S/snp, n)
+        raw = _maybe_unpack(raw, K.shape[1])
         if jnp.issubdtype(raw.dtype, jnp.integer):
             raw = jnp.where(raw < 0, jnp.nan, raw.astype(K.dtype))
         x = center_genotype_block(raw.astype(K.dtype), scale,
@@ -216,6 +226,7 @@ def kinship_pipeline(mesh: Mesh, scale: bool, dtype_name: str):
     float (NaN missing) or int8 (negative missing)."""
 
     def local_update(K, raw):
+        raw = _maybe_unpack(raw, K.shape[1])
         if jnp.issubdtype(raw.dtype, jnp.integer):
             raw = jnp.where(raw < 0, jnp.nan, raw.astype(K.dtype))
         x = center_genotype_block(raw.astype(K.dtype), scale)

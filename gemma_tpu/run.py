@@ -92,14 +92,32 @@ def _encode_wire(raw: np.ndarray, dtype) -> np.ndarray:
     return raw.astype(np.float64)
 
 
+def _pack2_enabled() -> bool:
+    return os.environ.get("GEMMA_TPU_PACK2", "1") != "0"
+
+
 def _raw_wire_block(ds: Dataset, sel, size: int,
                     dtype=jnp.float64) -> np.ndarray:
-    """Unimputed (size, ni_test) genotype block in wire format: int8
-    with -1 missing for integral dosages (.bed always; text files with
-    hard calls detected per block), float32/float64 with NaN otherwise
-    (see _encode_wire).  Padding rows are zeros (their stats are
-    trimmed by the caller).  Imputation happens on device inside the
-    sharded pipeline (parallel/shard.py)."""
+    """Unimputed (size, ·) genotype block in wire format, smallest
+    first: 2-bit packed uint8 for hard-call backends (ops/pack2 — raw
+    .bed bytes ship untouched when every individual is analyzed), int8
+    with -1 missing otherwise-integral dosages, float32/float64 with
+    NaN for fractional ones (see _encode_wire).  Padding rows decode
+    to all-missing / zeros (their stats are trimmed by the caller).
+    Imputation happens on device inside the sharded pipeline
+    (parallel/shard.py)."""
+    if hasattr(ds.geno, "block_i8") and _pack2_enabled():
+        from gemma_tpu.ops.pack2 import pack_bed_codes, PAD_BYTE
+        if hasattr(ds.geno, "block_bed") and ds.indicator_idv.all():
+            raw = ds.geno.block_bed(sel)
+        else:
+            raw = pack_bed_codes(
+                ds.geno.block_i8(sel)[:, ds.indicator_idv])
+        if raw.shape[0] < size:
+            raw = np.vstack([raw, np.full(
+                (size - raw.shape[0], raw.shape[1]), PAD_BYTE,
+                np.uint8)])
+        return raw
     if hasattr(ds.geno, "block_i8"):
         raw = ds.geno.block_i8(sel)[:, ds.indicator_idv]
         if raw.shape[0] < size:
@@ -233,6 +251,7 @@ def _gk_accumulate_2d(cfg: GemmaConfig, ds: Dataset, dtype, mesh,
                 out_shardings=k_shard)()
     update = kinship_2d_pipeline(mesh, scale, n_total=n)
     use_i8 = hasattr(ds.geno, "block_i8")
+    use_pack = use_i8 and _pack2_enabled()
     ns = 0
     for s in range(0, len(idx), bs):
         sel = idx[s:s + bs]
@@ -246,6 +265,11 @@ def _gk_accumulate_2d(cfg: GemmaConfig, ds: Dataset, dtype, mesh,
             full = np.full((bs, n_pad), fill, raw.dtype)
             full[:raw.shape[0], :n] = raw
             raw = full
+        if use_pack:
+            # pack AFTER the (bs, n_pad) padding so the decoded shape
+            # matches the sharded K row layout (ops/pack2 wire)
+            from gemma_tpu.ops.pack2 import pack_bed_codes
+            raw = pack_bed_codes(raw)
         K = update(K, raw)
         ns += len(sel)
         _mem_check(f"gk2d.block s={s}")
@@ -342,11 +366,25 @@ def run_gk(cfg: GemmaConfig, log: RunLog | None = None) -> np.ndarray:
             bs = _mesh_block_size(cfg, mesh, len(idx),
                                   n_axis=ds.ni_total)
             use_i8 = hasattr(ds.geno, "block_i8")
+            use_pack = use_i8 and _pack2_enabled()
             acc = KinshipAccumulator(ds.ni_total, scale=scale,
                                      dtype=dtype, mesh=mesh)
             for s in range(0, len(idx), bs):
                 sel = idx[s:s + bs]
-                if use_i8:
+                if use_pack:
+                    # 2-bit packed wire (ops/pack2): kinship runs over
+                    # ALL individuals, so raw .bed bytes ship untouched
+                    from gemma_tpu.ops.pack2 import (pack_bed_codes,
+                                                     PAD_BYTE)
+                    if hasattr(ds.geno, "block_bed"):
+                        raw = ds.geno.block_bed(sel)
+                    else:
+                        raw = pack_bed_codes(ds.geno.block_i8(sel))
+                    if raw.shape[0] < bs:
+                        raw = np.vstack([raw, np.full(
+                            (bs - raw.shape[0], raw.shape[1]),
+                            PAD_BYTE, np.uint8)])
+                elif use_i8:
                     raw = ds.geno.block_i8(sel)
                     if raw.shape[0] < bs:
                         raw = np.vstack([raw, np.full(
