@@ -569,6 +569,37 @@ def _load_or_compute_eigen(cfg: GemmaConfig, ds: Dataset, log: RunLog,
     return eval_, U, trace_G
 
 
+def _fetch_rows_streamed(Ud, path: str | None):
+    """Fetch a device matrix row-chunk-wise with all host copies
+    issued async up front, writing %.10g text rows as chunks land so
+    the d2h transfer and the formatting overlap (same posture as
+    _fetch_k_streamed; at n=20k the eigenU transfer is ~1.6 GB and
+    dominates -eigen wall through the axon tunnel).  Returns
+    (host float64 matrix, text_written)."""
+    from gemma_tpu.io import native as _native
+    if (jax.default_backend() == "cpu"
+            or getattr(Ud, "sharding", None) is None
+            or not Ud.sharding.is_fully_replicated
+            and len(Ud.sharding.device_set) > 1):
+        return np.asarray(jax.device_get(Ud), dtype=np.float64), False
+    n, m = Ud.shape
+    rows_per = max(1, (64 << 20) // (m * Ud.dtype.itemsize))
+    chunks = []
+    for a in range(0, n, rows_per):
+        c = Ud[a:a + rows_per]
+        c.copy_to_host_async()
+        chunks.append((a, c))
+    streaming = path is not None and _native.available()
+    out = np.empty((n, m), np.float64)
+    for t, (a, c) in enumerate(chunks):
+        seg = np.asarray(c).astype(np.float64, copy=False)
+        out[a:a + seg.shape[0]] = seg
+        if streaming:
+            streaming = _native.write_matrix_g10_rows(
+                path, seg, append=t > 0)
+    return out, streaming
+
+
 def run_eigen(cfg: GemmaConfig, log: RunLog | None = None):
     """-eigen: write eigenU/eigenD of the centered kinship matrix."""
     dtype = _resolve_dtype(cfg)
@@ -576,9 +607,16 @@ def run_eigen(cfg: GemmaConfig, log: RunLog | None = None):
     ds = load_dataset(cfg)
     eval_, U, _ = _load_or_compute_eigen(cfg, ds, log, dtype)
     ensure_outdir(cfg.path_out)
-    write_matrix(f"{cfg.out_prefix()}.eigenU.txt", np.asarray(U),
-                 sidecar=True)
-    write_vector(f"{cfg.out_prefix()}.eigenD.txt", np.asarray(eval_))
+    u_path = f"{cfg.out_prefix()}.eigenU.txt"
+    with log.timer.phase("readback"):
+        Uh, text_written = _fetch_rows_streamed(U, u_path)
+    with log.timer.phase("write"):
+        if text_written:
+            from gemma_tpu.io.writers import write_matrix_sidecar
+            write_matrix_sidecar(u_path, Uh)
+        else:
+            write_matrix(u_path, Uh, sidecar=True)
+        write_vector(f"{cfg.out_prefix()}.eigenD.txt", np.asarray(eval_))
     log.summary["number of total individuals"] = ds.ni_total
     log.summary["number of analyzed individuals"] = ds.ni_test
     log.summary["number of covariates"] = ds.n_cvt

@@ -32,21 +32,27 @@ def eigen20k(n=20000, p=24576):
     eigencluster exercises the cluster-leaf path instead."""
     from synth_biobank import write_plink
     from gemma_tpu.cli import parse_args
-    from gemma_tpu.run import batch_run
+    from gemma_tpu.run import run_gk, run_eigen
+    from gemma_tpu.utils.log import RunLog
 
     td = tempfile.mkdtemp(prefix="perf20k_")
     prefix = os.path.join(td, "s")
     write_plink(prefix, n, p, h2=0.5, seed=0)
     common = f"-bfile {prefix} -outdir {td} -no-check"
+    log_gk = RunLog(argv=["gemma-tpu"], quiet=True)
     t0 = time.time()
-    batch_run(parse_args((common + " -gk -o K").split()))
+    run_gk(parse_args((common + " -gk -o K").split()), log_gk)
     t_gk = time.time() - t0
+    log_e = RunLog(argv=["gemma-tpu"], quiet=True)
     t0 = time.time()
-    batch_run(parse_args(
-        (common + f" -k {td}/K.cXX.txt -eigen -o E").split()))
+    run_eigen(parse_args(
+        (common + f" -k {td}/K.cXX.txt -eigen -o E").split()), log_e)
     t_eigen = time.time() - t0
+    ph = lambda lg: {k: round(v, 2) for k, v in sorted(lg.timer.times.items())}
     print(json.dumps({"n": n, "p": p, "gk_sec": round(t_gk, 1),
-                      "eigen_sec": round(t_eigen, 1)}))
+                      "gk_phases": ph(log_gk),
+                      "eigen_sec": round(t_eigen, 1),
+                      "eigen_phases": ph(log_e)}))
 
 
 def parity6k():
@@ -197,11 +203,14 @@ def hlc():
     batch_run(parse_args((common + " -gk 2 -o K").split()))
     t_gk = time.time() - t0
     from gemma_tpu.models.mvlmm import EM_STATS
+    from gemma_tpu.run import run_mvlmm
+    from gemma_tpu.utils.log import RunLog
     EM_STATS.update(bursts=0, compute_s=0.0, sync_s=0.0)
+    log = RunLog(argv=["gemma-tpu"], quiet=True)
     t0 = time.time()
-    batch_run(parse_args(
+    run_mvlmm(parse_args(
         (common + f" -p {pheno} -k {td}/K.sXX.txt -lmm 1 -maf 0.1"
-         f" -n 1 2 3 15 -c {cvt} -o A").split()))
+         f" -n 1 2 3 15 -c {cvt} -o A").split()), log)
     t_lmm = time.time() - t0
     with open(f"{td}/A.assoc.txt") as fh:
         n_out = sum(1 for _ in fh) - 1
@@ -212,7 +221,9 @@ def hlc():
         "margin_vs_30min": round(1800.0 / t_lmm, 1),
         "em_bursts": EM_STATS["bursts"],
         "em_compute_s": round(EM_STATS["compute_s"], 2),
-        "em_sync_s": round(EM_STATS["sync_s"], 2)}))
+        "em_sync_s": round(EM_STATS["sync_s"], 2),
+        "phases": {k: round(v, 2)
+                   for k, v in sorted(log.timer.times.items())}}))
 
 
 if __name__ == "__main__":
