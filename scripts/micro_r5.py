@@ -170,5 +170,90 @@ def opt():
     print(json.dumps(out))
 
 
+def kernel():
+    """Sub-stage attribution of the bench kernel block (n=1940,
+    S=8192, mode 1, f32/tf32): rotation matmul, shared-lambda grid
+    scan, Newton polish + bracket logf, Wald epilogue.  Backs the
+    PERF.md roofline argument with on-chip times instead of estimates.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gemma_tpu.precision import apply_matmul_precision
+    apply_matmul_precision(jnp.float32)
+    from gemma_tpu.models.lmm import likelihood as lk
+    from gemma_tpu.models.lmm.engine import assoc_block_impl
+    from gemma_tpu.models.lmm.optimize import (calc_lambda,
+                                               _F32_GRID_REFINE)
+
+    n, n_cvt, S = 1940, 1, 8192
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    eval_ = np.sort(np.abs(rng.gamma(1.5, 1.2, n)))
+    eval_[:2] = 0.0
+    UtW = rng.normal(0.9, 0.2, size=(n, n_cvt))
+    Uty = rng.normal(size=n) * np.sqrt(2.0 * eval_ + 1.0)
+    U = np.linalg.qr(rng.normal(size=(n, n)))[0]
+    X = rng.binomial(2, rng.uniform(0.05, 0.5, size=(S, 1)),
+                     size=(S, n)).astype(np.float32)
+
+    eval_d = jnp.asarray(eval_, dtype)
+    UtW_d = jnp.asarray(UtW, dtype)
+    Uty_d = jnp.asarray(Uty, dtype)
+    U_d = jnp.asarray(U, dtype)
+    X_d = jnp.asarray(X, dtype)
+
+    rot = jax.jit(lambda x: jnp.matmul(x, U_d,
+                                       preferred_element_type=dtype))
+    Utx = rot(X_d)
+    Utx.block_until_ready()
+    data = lk.build_batch_data(eval_d, UtW_d, Uty_d, Utx, n_cvt)
+    jax.block_until_ready(data)
+
+    l_min, l_max, n_region = 1e-5, 1e5, 10
+    step = np.log(l_max / l_min) / n_region
+    n_fine = n_region * _F32_GRID_REFINE
+    fine_np = l_min * np.exp((step / _F32_GRID_REFINE)
+                             * np.arange(n_fine + 1))
+    grid_fn = jax.jit(lambda d: lk.dev1_grid(fine_np, d, n_cvt,
+                                             False, True))
+    lam_c = jnp.full((S,), 1.0, dtype)
+    logf3 = jax.jit(lambda d, l: (
+        lk.logf_stable(l, d, n_cvt, False, True)
+        + lk.logf_stable(l * 0.5, d, n_cvt, False, True)
+        + lk.logf_stable(l * 2.0, d, n_cvt, False, True)))
+    wald = jax.jit(lambda d, l: lk.wald_stats(l, d, n_cvt))
+    lam_fn = jax.jit(lambda d: calc_lambda(
+        d, n_cvt, calc_null=False, reml=True,
+        l_min=l_min, l_max=l_max, n_region=n_region))
+    full = jax.jit(lambda x: assoc_block_impl(
+        eval_d, UtW_d, Uty_d, x, jnp.asarray(1.0, dtype),
+        jnp.asarray(-2000.0, dtype), n_cvt=n_cvt, mode=1))
+
+    def best3(fn, *a):
+        jax.block_until_ready(fn(*a))         # warm/compile
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(fn(*a))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    out = {"n": n, "S": S}
+    out["rot_sec"] = round(best3(rot, X_d), 4)
+    out["grid_sec"] = round(best3(grid_fn, data), 4)
+    out["logf3_sec"] = round(best3(logf3, data, lam_c), 4)
+    out["wald_sec"] = round(best3(wald, data, lam_c), 4)
+    out["calc_lambda_sec"] = round(best3(lam_fn, data), 4)
+    out["assoc_full_sec"] = round(best3(full, Utx), 4)
+    out["newton_residual_sec"] = round(
+        out["calc_lambda_sec"] - out["grid_sec"] - out["logf3_sec"], 4)
+    # rooflines: rotation is the compute floor (2 S n^2 tf32 flops);
+    # everything else is streaming (S, n) passes over HBM
+    out["rot_gflop"] = round(2 * S * n * n / 1e9, 1)
+    out["snps_per_sec_full_block"] = round(
+        S / (out["rot_sec"] + out["assoc_full_sec"]), 1)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    {"io": io, "opt": opt}[sys.argv[1]]()
+    {"io": io, "opt": opt, "kernel": kernel}[sys.argv[1]]()
